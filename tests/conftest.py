@@ -9,12 +9,24 @@ import os
 import subprocess
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the environment pins JAX_PLATFORMS=axon (real TPU via tunnel),
+# which is wrong for tests — every op would round-trip the tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# the axon sitecustomize's register() forces jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var — force it back to cpu-only
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: scan-heavy codec kernels are expensive to compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 REPO = Path(__file__).resolve().parent.parent
 REFERENCE = Path("/root/reference")
