@@ -44,6 +44,21 @@ def precision_for_max_id(max_id: int) -> int:
     return (max_id - 1).bit_length()
 
 
+def precision_for_max_id_safe(max_id: int) -> int:
+    """Smallest precision that can represent ``max_id`` itself.
+
+    Identical to ``precision_for_max_id`` except when max_id is an exact
+    power of two, where the reference formula under-allocates and the codec
+    silently corrupts the maximum id (codec_push drops bits above
+    ``precision``: codec.cpp:92-105). Container layers use this safe variant —
+    lossless always — at the cost of stream divergence from the reference
+    only on inputs the reference itself decodes incorrectly.
+    """
+    if max_id < 1:
+        raise ValueError("max_id must be >= 1")
+    return max_id.bit_length()
+
+
 def roc_encode(
     ids: np.ndarray,
     precision: int,

@@ -1,0 +1,75 @@
+"""Size-bucketed batching of ragged lists.
+
+XLA needs static shapes; inverted lists and adjacency lists are ragged
+(empty to ~1e5 elements). We group lists into geometric size buckets and pad
+each bucket to its ceiling — the device codecs then process one bucket as one
+lanes-in-lockstep batch. This is the TPU-native replacement for the
+reference's OpenMP `parallel for` over individual lists
+(custom_invlists_impl.cpp:147,234): instead of one thread per list, one lane
+per list and one scan per bucket, with padding waste bounded by the bucket
+growth factor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Bucket:
+    """Lists of similar length, padded to ``n_pad``."""
+
+    list_ids: np.ndarray  # i64[B] original list numbers
+    lengths: np.ndarray   # i32[B]
+    n_pad: int
+
+
+def bucketize(lengths: Sequence[int], growth: float = 2.0, min_pad: int = 8) -> List[Bucket]:
+    """Group list indices into geometric size buckets (empty lists dropped)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    nonempty = np.flatnonzero(lengths > 0)
+    if len(nonempty) == 0:
+        return []
+    buckets: List[Bucket] = []
+    order = nonempty[np.argsort(lengths[nonempty], kind="stable")]
+    sorted_lens = lengths[order]
+    lo = 0
+    while lo < len(order):
+        cap = max(int(sorted_lens[lo]), min_pad)
+        # grow cap geometrically; everything <= cap goes in this bucket
+        while True:
+            hi = int(np.searchsorted(sorted_lens, cap, side="right"))
+            nxt = int(cap * growth)
+            if hi >= len(order) or nxt == cap:
+                break
+            # stop growing when the next ceiling would overshoot occupancy
+            hi_next = int(np.searchsorted(sorted_lens, nxt, side="right"))
+            if hi_next == hi:
+                break
+            cap = nxt
+        hi = max(hi, lo + 1)
+        ids = order[lo:hi]
+        buckets.append(
+            Bucket(
+                list_ids=ids.copy(),
+                lengths=lengths[ids].astype(np.int32),
+                n_pad=cap,
+            )
+        )
+        lo = hi
+    return buckets
+
+
+def pad_lists(
+    arrays: Sequence[np.ndarray], n_pad: int, dtype=None, fill=0
+) -> np.ndarray:
+    """[B, n_pad] padded stack of 1-D arrays."""
+    B = len(arrays)
+    dtype = dtype or arrays[0].dtype
+    out = np.full((B, n_pad), fill, dtype=dtype)
+    for b, a in enumerate(arrays):
+        out[b, : len(a)] = a
+    return out
