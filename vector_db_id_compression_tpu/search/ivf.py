@@ -1,0 +1,383 @@
+"""IVF index with deferred ID decoding — the search-path integration.
+
+Reference parity (custom_invlists_impl.cpp:407-526 `search_IVF_defer_id_decoding`
+and the SWIG wrapper custom_invlists.swig:86-127):
+  - coarse quantization → probe lists → scan codes positionally (labels are
+    (list_no, offset) pairs, ids never touched during the scan),
+  - after the shortlist is final, translate labels to ids either 1-by-1
+    (random-access codecs) or grouped per touched list (full-list decoders
+    like ROC),
+  - optionally harvest the shortlist's payload codes (+ listno prefix).
+
+TPU-native design: the scan is batched matmul/LUT arithmetic over
+size-bucketed padded list storage —
+  coarse:    [nq, d] x [d, nlist] matmul + top-nprobe        (MXU)
+  flat scan: per bucket, batched matvec dist over gathered
+             (query, lane) probe pairs + masked top-k        (MXU/VPU)
+  pq scan:   per-query LUTs [nq, M, ksub] + per-pair gather-sum (VPU)
+  translate: ONE batched container call (get_single_ids_batch or
+             decode_lists) instead of an OpenMP loop.
+
+Positional labels are packed like the reference's lo_build: label =
+(list_no << 32) | offset, -1 for empty slots.
+
+Scan storage is always (re)built from the *active* container's code order, so
+offsets stay consistent after codecs reorder payload codes (ROC: sampling
+order, EF: ascending ids) — same invariant the reference maintains by
+physically reordering codes at compression time (custom_invlists_impl.cpp:188-193).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..store.invlists import CompressedInvertedLists, InvertedLists
+from ..store.ragged import bucketize
+from .kmeans import train_kmeans
+from .pq import ProductQuantizer
+
+
+def lo_build(list_no, offset):
+    return (np.int64(list_no) << np.int64(32)) | np.int64(offset)
+
+
+def lo_listno(label):
+    return label >> 32
+
+
+def lo_offset(label):
+    return label & ((1 << 32) - 1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _coarse_topk(xq, centroids, nprobe):
+    dots = jnp.dot(xq, centroids.T, preferred_element_type=jnp.float32)
+    c2 = jnp.sum(centroids * centroids, axis=1)
+    d2 = c2[None, :] - 2.0 * dots
+    neg, idx = jax.lax.top_k(-d2, nprobe)
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+    return -neg + x2, idx
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _scan_flat_bucket(xq, vecs, lengths, pairs, k):
+    """pairs = (q_idx i32[P], lane i32[P]); vecs f32[B, n_pad, d].
+    Returns (dists f32[P, k], offsets i32[P, k]) with +inf padding."""
+    q_idx, lane = pairs
+    X = xq[q_idx]                      # [P, d]
+    Y = vecs[lane]                     # [P, n_pad, d]
+    dots = jnp.einsum("pd,pnd->pn", X, Y, preferred_element_type=jnp.float32)
+    y2 = jnp.sum(Y * Y, axis=2)
+    d2 = y2 - 2.0 * dots               # + ||x||^2 added by caller at merge
+    n_pad = Y.shape[1]
+    mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= lengths[lane][:, None]
+    d2 = jnp.where(mask, jnp.inf, d2)
+    kk = min(k, n_pad)
+    neg, offs = jax.lax.top_k(-d2, kk)
+    if kk < k:
+        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        offs = jnp.pad(offs, ((0, 0), (0, k - kk)), constant_values=0)
+    return -neg, offs
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _scan_pq_bucket(luts, codes, lengths, pairs, k):
+    """luts f32[nq, M, ksub]; codes u8[B, n_pad, M]."""
+    q_idx, lane = pairs
+    lut_p = luts[q_idx]                            # [P, M, ksub]
+    idx = codes[lane].astype(jnp.int32)            # [P, n_pad, M]
+    idx_t = jnp.swapaxes(idx, 1, 2)                # [P, M, n_pad]
+    gathered = jnp.take_along_axis(lut_p, idx_t, axis=2)  # [P, M, n_pad]
+    d2 = jnp.sum(gathered, axis=1)                 # [P, n_pad]
+    n_pad = d2.shape[1]
+    mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= lengths[lane][:, None]
+    d2 = jnp.where(mask, jnp.inf, d2)
+    kk = min(k, n_pad)
+    neg, offs = jax.lax.top_k(-d2, kk)
+    if kk < k:
+        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        offs = jnp.pad(offs, ((0, 0), (0, k - kk)), constant_values=0)
+    return -neg, offs
+
+
+@jax.jit
+def _merge_topk(cand_d, cand_l):
+    """[nq, C] candidate dists/labels → top-k by distance (k = output C of
+    caller slicing); returns sorted ascending."""
+    order = jnp.argsort(cand_d, axis=1)
+    return jnp.take_along_axis(cand_d, order, axis=1), jnp.take_along_axis(
+        cand_l, order, axis=1
+    )
+
+
+def _pad_pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass
+class _ScanBucket:
+    list_ids: np.ndarray      # i64[B] list numbers
+    lengths_dev: jax.Array    # i32[B]
+    payload: jax.Array        # flat: f32[B, n_pad, d] | pq: u8[B, n_pad, M]
+    n_pad: int
+
+
+class IndexIVF:
+    """IVF index: flat or PQ payload, pluggable compressed ID containers."""
+
+    def __init__(self, d: int, nlist: int, storage: str = "flat",
+                 pq_m: int = 0, nprobe: int = 1):
+        assert storage in ("flat", "pq")
+        self.d = d
+        self.nlist = nlist
+        self.storage = storage
+        self.nprobe = nprobe
+        self.pq = ProductQuantizer(d, pq_m) if storage == "pq" else None
+        self.centroids: Optional[np.ndarray] = None
+        self.invlists: Optional[InvertedLists] = None
+        self.active: Optional[object] = None  # InvertedLists-like with codes
+        self.ntotal = 0
+        self._scan: List[_ScanBucket] = []
+        self._list_to_scan: Dict[int, Tuple[int, int]] = {}
+
+    @property
+    def code_size(self) -> int:
+        return self.d * 4 if self.storage == "flat" else self.pq.code_size
+
+    @property
+    def coarse_code_size(self) -> int:
+        """Bytes to encode a list number (reference encode_listno convention:
+        ceil(log2(nlist) / 8))."""
+        nbit = max((self.nlist - 1).bit_length(), 1)
+        return (nbit + 7) // 8
+
+    # ------------------------------------------------------------------ build
+
+    def train(self, x: np.ndarray, niter: int = 20):
+        self.centroids = train_kmeans(x, self.nlist, niter=niter)
+        if self.pq is not None:
+            self.pq.train(x)
+
+    def add(self, x: np.ndarray):
+        assert self.centroids is not None, "train first"
+        x = np.asarray(x, dtype=np.float32)
+        from .kmeans import assign
+
+        a = np.asarray(assign(jnp.asarray(x), jnp.asarray(self.centroids)))
+        if self.storage == "flat":
+            codes = x.view(np.uint8).reshape(len(x), -1)
+        else:
+            codes = self.pq.encode(x)
+        il = InvertedLists(self.nlist, self.code_size)
+        base = self.ntotal
+        for ln in range(self.nlist):
+            members = np.flatnonzero(a == ln)
+            il.add_entries(ln, (members + base).astype(np.uint64),
+                           codes[members].reshape(-1))
+        self.invlists = il
+        self.ntotal += len(x)
+        self.replace_invlists(il)
+
+    def replace_invlists(self, container):
+        """Swap the active ID container (source or compressed) and rebuild
+        scan storage in the container's code order."""
+        self.active = container
+        lengths = (
+            container.lengths
+            if isinstance(container, (CompressedInvertedLists,))
+            else container.lengths
+        )
+        self._scan = []
+        self._list_to_scan = {}
+        get_codes = (
+            container.get_codes
+            if hasattr(container, "get_codes")
+            else (lambda ln: container.codes[ln])
+        )
+        for si, bucket in enumerate(bucketize(lengths)):
+            B, n_pad = len(bucket.list_ids), bucket.n_pad
+            if self.storage == "flat":
+                payload = np.zeros((B, n_pad, self.d), dtype=np.float32)
+                for lane, ln in enumerate(bucket.list_ids):
+                    c = get_codes(int(ln))
+                    payload[lane, : len(c) // self.code_size] = (
+                        c.view(np.float32).reshape(-1, self.d)
+                    )
+            else:
+                payload = np.zeros((B, n_pad, self.pq.M), dtype=np.uint8)
+                for lane, ln in enumerate(bucket.list_ids):
+                    c = get_codes(int(ln))
+                    payload[lane, : len(c) // self.code_size] = c.reshape(
+                        -1, self.pq.M
+                    )
+            self._scan.append(
+                _ScanBucket(
+                    list_ids=bucket.list_ids,
+                    lengths_dev=jnp.asarray(bucket.lengths),
+                    payload=jnp.asarray(payload),
+                    n_pad=n_pad,
+                )
+            )
+            for lane, ln in enumerate(bucket.list_ids):
+                self._list_to_scan[int(ln)] = (si, lane)
+
+    # ----------------------------------------------------------------- search
+
+    def search_positional(self, xq: np.ndarray, k: int, nprobe: Optional[int] = None):
+        """Scan only: returns (D f32[nq, k], labels i64[nq, k]) with packed
+        (list_no << 32 | offset) labels, -1 for empty slots — the equivalent
+        of search_preassigned(store_pairs=true) (custom_invlists_impl.cpp:427-428)."""
+        nprobe = nprobe or self.nprobe
+        xq = np.asarray(xq, dtype=np.float32)
+        nq = len(xq)
+        xq_dev = jnp.asarray(xq)
+        _, probes = _coarse_topk(xq_dev, jnp.asarray(self.centroids), nprobe)
+        probes = np.asarray(probes)  # [nq, nprobe]
+
+        luts = self.pq.compute_luts(xq_dev) if self.storage == "pq" else None
+
+        # group (query, probe) pairs by scan bucket
+        cand_d = np.full((nq, nprobe, k), np.inf, dtype=np.float32)
+        cand_l = np.full((nq, nprobe, k), -1, dtype=np.int64)
+        by_bucket: Dict[int, List[Tuple[int, int, int]]] = {}
+        for q in range(nq):
+            for p in range(nprobe):
+                ln = int(probes[q, p])
+                if ln not in self._list_to_scan:
+                    continue  # empty list
+                si, lane = self._list_to_scan[ln]
+                by_bucket.setdefault(si, []).append((q, p, lane))
+
+        for si, triples in by_bucket.items():
+            sb = self._scan[si]
+            P = len(triples)
+            P_pad = _pad_pow2(P)
+            q_idx = np.zeros(P_pad, dtype=np.int32)
+            lanes = np.zeros(P_pad, dtype=np.int32)
+            for i, (q, p, lane) in enumerate(triples):
+                q_idx[i], lanes[i] = q, lane
+            pairs = (jnp.asarray(q_idx), jnp.asarray(lanes))
+            if self.storage == "flat":
+                dists, offs = _scan_flat_bucket(
+                    xq_dev, sb.payload, sb.lengths_dev, pairs, k
+                )
+            else:
+                dists, offs = _scan_pq_bucket(
+                    luts, sb.payload, sb.lengths_dev, pairs, k
+                )
+            dists = np.asarray(dists)[:P]
+            offs = np.asarray(offs)[:P]
+            for i, (q, p, lane) in enumerate(triples):
+                ln = int(sb.list_ids[lane])
+                cand_d[q, p] = dists[i]
+                valid = np.isfinite(dists[i])
+                cand_l[q, p] = np.where(valid, lo_build(ln, offs[i]), -1)
+
+        if self.storage == "flat":
+            # add back the per-query ||x||^2 term for true L2 distances
+            x2 = (xq * xq).sum(axis=1)[:, None, None]
+            cand_d = np.where(np.isfinite(cand_d), cand_d + x2, cand_d)
+
+        D, L = _merge_topk(
+            jnp.asarray(cand_d.reshape(nq, -1)), jnp.asarray(cand_l.reshape(nq, -1))
+        )
+        D = np.asarray(D)[:, :k]
+        L = np.asarray(L)[:, :k]
+        D = np.where(L >= 0, D, np.inf)
+        return D, L
+
+    def search_defer_id_decoding(
+        self,
+        xq: np.ndarray,
+        k: int,
+        nprobe: Optional[int] = None,
+        decode_1by1: Optional[bool] = None,
+        return_codes: int = 0,
+        include_listno: bool = False,
+    ):
+        """Full deferred-decoding search (reference C13 + swig wrapper B1).
+
+        return_codes: 0 = no codes, nonzero = also return the shortlist's
+        payload codes (2 in the reference means include the listno prefix —
+        here expressed via include_listno).
+        Returns (D, I) or (D, I, codes).
+        """
+        D, L = self.search_positional(xq, k, nprobe)
+        container = self.active
+        if decode_1by1 is None:
+            decode_1by1 = getattr(container, "supports_random_access", True)
+
+        codes_out = None
+        if return_codes:
+            codes_out = self._harvest_codes(L, include_listno or return_codes == 2)
+
+        I = self._translate(L, decode_1by1)
+        if codes_out is not None:
+            return D, I, codes_out
+        return D, I
+
+    def search(self, xq: np.ndarray, k: int, nprobe: Optional[int] = None):
+        """Standard search: ids translated for every result."""
+        return self.search_defer_id_decoding(xq, k, nprobe)
+
+    # ----------------------------------------------------- translation & codes
+
+    def _translate(self, labels: np.ndarray, decode_1by1: bool) -> np.ndarray:
+        container = self.active
+        out = labels.copy()
+        flat = labels.reshape(-1)
+        valid = flat >= 0
+        if not valid.any():
+            return out
+        lns = lo_listno(flat[valid])
+        offs = lo_offset(flat[valid])
+        if isinstance(container, InvertedLists):
+            ids = np.array(
+                [container.ids[ln][off] for ln, off in zip(lns, offs)],
+                dtype=np.int64,
+            )
+        elif decode_1by1 and container.supports_random_access:
+            ids = container.get_single_ids_batch(lns, offs).astype(np.int64)
+        else:
+            # grouped: decode each touched list once (reference .cpp:477-525)
+            uniq, inv = np.unique(lns, return_inverse=True)
+            decoded, lens = container.decode_lists(uniq)
+            ids = decoded[inv, offs].astype(np.int64)
+        res = flat.copy()
+        res[valid] = ids
+        return res.reshape(labels.shape)
+
+    def _harvest_codes(self, labels: np.ndarray, include_listno: bool) -> np.ndarray:
+        """Shortlist payload codes, 0xff-filled for empty slots
+        (reference .cpp:433-462)."""
+        container = self.active
+        cs1 = self.code_size + (self.coarse_code_size if include_listno else 0)
+        flat = labels.reshape(-1)
+        out = np.full((len(flat), cs1), 0xFF, dtype=np.uint8)
+        get_codes = (
+            container.get_codes
+            if hasattr(container, "get_codes")
+            else (lambda ln: container.codes[ln])
+        )
+        for i, lab in enumerate(flat):
+            if lab < 0:
+                continue
+            ln, off = int(lo_listno(lab)), int(lo_offset(lab))
+            c = get_codes(ln).reshape(-1, self.code_size)[off]
+            pos = 0
+            if include_listno:
+                # little-endian listno prefix (reference encode_listno)
+                for byte in range(self.coarse_code_size):
+                    out[i, byte] = (ln >> (8 * byte)) & 0xFF
+                pos = self.coarse_code_size
+            out[i, pos:] = c
+        return out.reshape(*labels.shape, cs1)
