@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched ROC decode throughput on TPU.
+
+Workload: an IVF-shaped id set — ``NLIST`` lists over ``NTOTAL`` distinct ids
+(~1k ids/list, 20-bit), the shape of SIFT1M IVF1024 deferred-ID-decoding
+translation (SURVEY.md §3.2: decompression is paid once per touched list).
+We measure full decode of every list, end to end, on device.
+
+Baseline: the reference C++ codec (compiled from the read-only checkout,
+single thread — its codec has no intra-list parallelism and the reference's
+only cross-list parallelism is OpenMP) on the same workload, same host.
+``vs_baseline`` = TPU ids/s / reference ids/s (>1 means faster).
+
+Prints exactly ONE JSON line to stdout.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+REFERENCE = Path("/root/reference")
+
+NLIST = 1024
+NTOTAL = 1 << 20
+SEED = 7
+# reference single-core decode ids/s measured on this host (fallback when the
+# reference checkout is unavailable)
+FALLBACK_REF_IDS_PER_S = 11.0e6
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def reference_decode_rate() -> float:
+    if not REFERENCE.exists():
+        log(f"reference missing; using fallback {FALLBACK_REF_IDS_PER_S:.3g} ids/s")
+        return FALLBACK_REF_IDS_PER_S
+    src = REPO / "tests" / "cross_check" / "ref_codec_bench.cpp"
+    binp = REPO / "tests" / "cross_check" / "ref_codec_bench"
+    if not binp.exists() or binp.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", f"-I{REFERENCE}", str(src),
+             str(REFERENCE / "custom_invlist_cpp" / "codec.cpp"), "-o", str(binp)],
+            check=True,
+        )
+    out = subprocess.run(
+        [str(binp), str(NLIST), str(NTOTAL), str(SEED)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    dec_s = float(out[3])
+    log(f"reference C++ single-core: encode {float(out[1]):.3f}s decode {dec_s:.3f}s")
+    return NTOTAL / dec_s
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vector_db_id_compression_tpu.codecs import roc_device as rd
+    from vector_db_id_compression_tpu.codecs.roc import precision_for_max_id_safe
+
+    log(f"devices: {jax.devices()}")
+
+    # same workload generator as the C++ harness (uniform assignment)
+    rng = np.random.default_rng(SEED)
+    assignment = rng.integers(0, NLIST, size=NTOTAL)
+    lengths_l = np.bincount(assignment, minlength=NLIST).astype(np.int32)
+    n_max = int(lengths_l.max())
+    sorted_ids = np.zeros((NLIST, n_max), dtype=np.uint64)
+    prec = np.zeros(NLIST, dtype=np.int32)
+    for ln in range(NLIST):
+        members = np.flatnonzero(assignment == ln).astype(np.uint64)
+        sorted_ids[ln, : len(members)] = members
+        prec[ln] = precision_for_max_id_safe(int(members.max()))
+
+    cap = rd.stack_capacity(n_max, int(prec.max()))
+    pool = rd.default_pool(n_max)
+    lengths = jnp.asarray(lengths_l)
+    precision = jnp.asarray(prec)
+
+    t0 = time.time()
+    states, _ = rd.roc_encode_batch(
+        jnp.asarray(sorted_ids), lengths, precision, pool,
+        rd.fresh_states(NLIST, cap),
+    )
+    jax.block_until_ready(states)
+    t_enc_first = time.time() - t0
+    assert not bool(np.asarray(states.err).any())
+    log(f"encode (incl. compile): {t_enc_first:.3f}s; "
+        f"bytes {int(np.asarray(states.size_bytes).sum())} "
+        f"({8*np.asarray(states.size_bytes).sum()/NTOTAL:.2f} bits/id)")
+
+    # warm up decode (compile)
+    ids, fin = rd.roc_decode_batch(states, lengths, precision, pool, n_max)
+    jax.block_until_ready(ids)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        ids, fin = rd.roc_decode_batch(states, lengths, precision, pool, n_max)
+        jax.block_until_ready(ids)
+        times.append(time.time() - t0)
+    dec_s = min(times)
+    tpu_rate = NTOTAL / dec_s
+    log(f"TPU decode: {dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} Mids/s")
+
+    # correctness spot check
+    decoded = np.asarray(ids)
+    for ln in (0, NLIST // 2, NLIST - 1):
+        n = lengths_l[ln]
+        got = np.sort(decoded[ln, :n])
+        np.testing.assert_array_equal(got, sorted_ids[ln, :n])
+
+    ref_rate = reference_decode_rate()
+    print(json.dumps({
+        "metric": "roc_decode_throughput",
+        "value": round(tpu_rate / 1e6, 3),
+        "unit": "Mids/s",
+        "vs_baseline": round(tpu_rate / ref_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

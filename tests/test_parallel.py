@@ -1,0 +1,65 @@
+"""Sharded codec over an 8-device CPU mesh: the N-device artifact must be
+bit-identical to the 1-device artifact (determinism is the sanitizer —
+SURVEY.md §5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vector_db_id_compression_tpu.codecs import roc_device as rd
+from vector_db_id_compression_tpu.parallel.mesh import (
+    make_lists_mesh,
+    sharded_roc_decode,
+    sharded_roc_encode,
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    B, n_max, bits = 16, 200, 18
+    ids = np.zeros((B, n_max), dtype=np.uint64)
+    lengths = rng.integers(50, n_max + 1, size=B).astype(np.int32)
+    prec = np.zeros(B, dtype=np.int32)
+    for b in range(B):
+        v = np.sort(rng.choice(2**bits - 1, size=lengths[b], replace=False) + 1)
+        ids[b, : lengths[b]] = v
+        prec[b] = int(v.max()).bit_length()
+    return ids, lengths, prec
+
+
+def test_sharded_encode_matches_single_device(batch):
+    ids, lengths, prec = batch
+    n_max = ids.shape[1]
+    cap = rd.stack_capacity(n_max, int(prec.max()))
+    pool = rd.default_pool(n_max)
+
+    # single device
+    st1, order1 = rd.roc_encode_batch(
+        jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(prec), pool,
+        rd.fresh_states(ids.shape[0], cap),
+    )
+
+    mesh = make_lists_mesh(8)
+    assert mesh.size == 8, "conftest must provide 8 virtual CPU devices"
+    stN, orderN = sharded_roc_encode(
+        mesh, jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(prec), cap
+    )
+    np.testing.assert_array_equal(np.asarray(stN.head), np.asarray(st1.head))
+    np.testing.assert_array_equal(np.asarray(stN.stack), np.asarray(st1.stack))
+    np.testing.assert_array_equal(
+        np.asarray(stN.stack_len), np.asarray(st1.stack_len)
+    )
+    np.testing.assert_array_equal(np.asarray(orderN), np.asarray(order1))
+
+    # sharded decode round-trips
+    decoded = sharded_roc_decode(
+        mesh, stN, jnp.asarray(lengths), jnp.asarray(prec), n_max
+    )
+    decoded = np.asarray(decoded)
+    for b in range(ids.shape[0]):
+        n = lengths[b]
+        np.testing.assert_array_equal(
+            np.sort(decoded[b, :n]), ids[b, :n]
+        )

@@ -267,7 +267,11 @@ def roc_decode_batch(states: RocStates, lengths, precision, pool, n_max: int):
         st = _push_mod(st, pool, rank, jnp.uint32(i + 1), active)
         return (st, syms), symbol
 
-    syms0 = jnp.zeros((B, n_max), dtype=jnp.uint64)
+    # derive the init from an input so it inherits the shard_map varying
+    # axis (plain zeros would be typed as replicated inside shard_map)
+    syms0 = jnp.broadcast_to(
+        (lengths * 0).astype(jnp.uint64)[:, None], (B, n_max)
+    )
     (states, _), emitted = jax.lax.scan(
         step, (states, syms0), jnp.arange(n_max, dtype=jnp.int32)
     )
