@@ -60,6 +60,11 @@ def reference_decode_rate() -> float:
 def main():
     import numpy as np
     import jax
+
+    # persistent compile cache: the codec scan programs are large and axon
+    # compiles remotely (~minutes); cache hits make reruns instant
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from vector_db_id_compression_tpu.codecs import roc_device as rd

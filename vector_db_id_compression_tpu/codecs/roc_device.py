@@ -79,10 +79,10 @@ def default_pool(n_max: int) -> jnp.ndarray:
 
 
 def stack_capacity(n_max: int, max_precision: int) -> int:
-    """Safe per-list stack bound: every emitted word is 32 bits that first
-    entered the head; pushes add <= precision bits/element, pops can spill
-    once per call."""
-    return n_max * ((max_precision + 31) // 32 + 1) + 8
+    """Per-list stack bound: pushes add <= precision bits per element (spilled
+    in 32-bit words), plus slack for pop-side spills. Overflow is detected at
+    runtime via the err flag (never silent)."""
+    return (n_max * max_precision + 31) // 32 + max(16, n_max // 8)
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +95,8 @@ def _stack_push(stack, stack_len, word, mask):
     idx = jnp.clip(stack_len, 0, stack.shape[1] - 1)
     old = stack[b, idx]
     stack = stack.at[b, idx].set(jnp.where(mask, word.astype(jnp.uint32), old))
-    return stack, stack_len + mask.astype(jnp.int32)
+    overflow = mask & (stack_len >= stack.shape[1])
+    return stack, stack_len + mask.astype(jnp.int32), overflow
 
 
 def _stack_or_pool_word(stack, stack_len, pool, mt_ctr, take):
@@ -118,17 +119,46 @@ def _stack_or_pool_word(stack, stack_len, pool, mt_ctr, take):
 # ---------------------------------------------------------------------------
 
 
-def _pop_mod(st: RocStates, pool, nmax_u32, active):
+def _divmod_by_u32(head0, nmax_u32, digit_bits: int = 8):
+    """Exact (head0 // nmax, head0 % nmax) for head0 < 2^64.
+
+    Digit-wise long division so every intermediate fits uint32 — native VPU
+    divides instead of XLA's emulated 64-bit division. digit_bits=16 needs
+    nmax < 2^16 (4 steps); digit_bits=8 needs nmax < 2^24 (8 steps). Callers
+    choose statically from the bucket's max list length."""
+    nm = jnp.maximum(nmax_u32, 1)
+    mask = jnp.uint32((1 << digit_bits) - 1)
+    r = jnp.zeros_like(nm)
+    q = jnp.zeros_like(head0)
+    for shift in range(64 - digit_bits, -digit_bits, -digit_bits):
+        digit = (head0 >> jnp.uint64(shift)).astype(jnp.uint32) & mask
+        cur = (r << jnp.uint32(digit_bits)) | digit
+        qd = cur // nm
+        r = cur - qd * nm
+        q = (q << jnp.uint64(digit_bits)) | qd.astype(jnp.uint64)
+    return q, r.astype(jnp.uint64)
+
+
+def digit_bits_for(n_max: int) -> int:
+    """Static digit width for _divmod_by_u32 given the max modulus."""
+    if n_max < (1 << 16):
+        return 16
+    if n_max < (1 << 24):
+        return 8
+    raise ValueError("lists longer than 2^24 are not supported per bucket")
+
+
+def _pop_mod(st: RocStates, pool, nmax_u32, active, digit_bits: int = 8):
     """pop_with_finer_precision (codec.cpp:21-42), lanes in lockstep."""
     head0 = st.head
     q32 = (jnp.uint32(1 << 31) // jnp.maximum(nmax_u32, 1)).astype(jnp.uint64)
     nmax = nmax_u32.astype(jnp.uint64)
     spill = (head0 >= nmax * (q32 << jnp.uint64(32))) & active
-    stack, stack_len = _stack_push(st.stack, st.stack_len, head0 & _MASK32, spill)
+    stack, stack_len, ovf0 = _stack_push(st.stack, st.stack_len, head0 & _MASK32, spill)
     head0 = jnp.where(spill, head0 >> jnp.uint64(32), head0)
 
-    cfs = jnp.where(active, head0 % nmax, 0)
-    head = head0 // nmax
+    head, cfs = _divmod_by_u32(head0, nmax_u32, digit_bits)
+    cfs = jnp.where(active, cfs, 0)
 
     refill = (head0 < RANS_L) & active
     word, stack_len, mt_ctr, ovf = _stack_or_pool_word(
@@ -136,7 +166,7 @@ def _pop_mod(st: RocStates, pool, nmax_u32, active):
     )
     head = jnp.where(refill, word | (head << jnp.uint64(32)), head)
     head = jnp.where(active, head, st.head)
-    return cfs, RocStates(head, stack, stack_len, mt_ctr, st.err | ovf)
+    return cfs, RocStates(head, stack, stack_len, mt_ctr, st.err | ovf0 | ovf)
 
 
 def _push_mod(st: RocStates, pool, value, nmax_u32, active):
@@ -144,7 +174,7 @@ def _push_mod(st: RocStates, pool, value, nmax_u32, active):
     head0 = st.head
     q32 = (jnp.uint32(1 << 31) // jnp.maximum(nmax_u32, 1)).astype(jnp.uint64)
     spill = (head0 >= (q32 << jnp.uint64(32))) & active
-    stack, stack_len = _stack_push(st.stack, st.stack_len, head0 & _MASK32, spill)
+    stack, stack_len, ovf0 = _stack_push(st.stack, st.stack_len, head0 & _MASK32, spill)
     head0 = jnp.where(spill, head0 >> jnp.uint64(32), head0)
 
     head = head0 * nmax_u32.astype(jnp.uint64) + value.astype(jnp.uint64)
@@ -155,37 +185,39 @@ def _push_mod(st: RocStates, pool, value, nmax_u32, active):
     )
     head = jnp.where(refill, (head << jnp.uint64(32)) | word, head)
     head = jnp.where(active, head, st.head)
-    return RocStates(head, stack, stack_len, mt_ctr, st.err | ovf)
+    return RocStates(head, stack, stack_len, mt_ctr, st.err | ovf0 | ovf)
 
 
-def _slice_precisions(precision):
-    """Four clamped 16-bit slice precisions as u64[B] each, low-to-high."""
-    return [
-        jnp.clip(precision - lower, 0, 16).astype(jnp.uint64)
-        for lower in (0, 16, 32, 48)
-    ]
+def _slice_lowers(n_slices: int):
+    """Active 16-bit slice offsets. Slices with clamped precision 0 for every
+    lane are exact no-ops on any valid stream (the head invariant
+    head >= RANS_L makes a p=0 vrans push/pop touch nothing), so callers pass
+    n_slices = ceil(max_precision / 16) and we skip the rest statically."""
+    return (0, 16, 32, 48)[:n_slices]
 
 
-def _push_symbol(st: RocStates, symbol, precision, active):
-    """codec_push (codec.cpp:92-105): four 16-bit slices, low slice first.
+def _push_symbol(st: RocStates, symbol, precision, active, n_slices=4):
+    """codec_push (codec.cpp:92-105): 16-bit slices, low slice first.
     vrans_push never refills, so no pool access here."""
     head, stack, stack_len = st.head, st.stack, st.stack_len
-    ps = _slice_precisions(precision)
-    for lower, p in zip((0, 16, 32, 48), ps):
+    err = st.err
+    for lower in _slice_lowers(n_slices):
+        p = jnp.clip(precision - lower, 0, 16).astype(jnp.uint64)
         s = (symbol >> jnp.uint64(lower)) & jnp.uint64(0xFFFF)
         spill = (head >= ((RANS_L >> p) << jnp.uint64(32))) & active
-        stack, stack_len = _stack_push(stack, stack_len, head & _MASK32, spill)
+        stack, stack_len, ovf = _stack_push(stack, stack_len, head & _MASK32, spill)
+        err = err | ovf
         head0 = jnp.where(spill, head >> jnp.uint64(32), head)
         head = jnp.where(active, (head0 << p) + s, head)
-    return RocStates(head, stack, stack_len, st.mt_ctr, st.err)
+    return RocStates(head, stack, stack_len, st.mt_ctr, err)
 
 
-def _pop_symbol(st: RocStates, pool, precision, active):
+def _pop_symbol(st: RocStates, pool, precision, active, n_slices=4):
     """codec_pop (codec.cpp:107-121): high slice first."""
     head, stack, stack_len, mt_ctr, err = st
-    ps = _slice_precisions(precision)
     symbol = jnp.zeros_like(head)
-    for p in reversed(ps):  # lower = 48, 32, 16, 0
+    for lower in reversed(_slice_lowers(n_slices)):
+        p = jnp.clip(precision - lower, 0, 16).astype(jnp.uint64)
         mask = (_U64_1 << p) - _U64_1
         cfs = head & mask
         h = head >> p
@@ -205,8 +237,14 @@ def _pop_symbol(st: RocStates, pool, precision, active):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, donate_argnums=())
-def roc_encode_batch(sorted_ids, lengths, precision, pool, states: RocStates):
+def n_slices_for(max_precision: int) -> int:
+    """Static count of active 16-bit symbol slices for a bucket."""
+    return max(1, -(-int(max_precision) // 16))
+
+
+@partial(jax.jit, static_argnums=(5,))
+def roc_encode_batch(sorted_ids, lengths, precision, pool, states: RocStates,
+                     n_slices: int = 4):
     """Encode B lists in lockstep.
 
     Args:
@@ -221,11 +259,13 @@ def roc_encode_batch(sorted_ids, lengths, precision, pool, states: RocStates):
     """
     B, n_max = sorted_ids.shape
 
+    digit_bits = digit_bits_for(n_max)
+
     def step(carry, i):
         st, alive = carry
         active = i < lengths
         nmax = (lengths - i).astype(jnp.uint32)
-        k, st = _pop_mod(st, pool, nmax, active)
+        k, st = _pop_mod(st, pool, nmax, active, digit_bits)
         # select k-th (0-based) remaining element per lane
         cum = jnp.cumsum(alive, axis=1)
         pos = jnp.argmax(cum == (k.astype(jnp.int32) + 1)[:, None], axis=1)
@@ -234,7 +274,7 @@ def roc_encode_batch(sorted_ids, lengths, precision, pool, states: RocStates):
         alive = alive.at[b, pos].set(
             jnp.where(active, 0, alive[b, pos]).astype(alive.dtype)
         )
-        st = _push_symbol(st, symbol, precision, active)
+        st = _push_symbol(st, symbol, precision, active, n_slices)
         return (st, alive), jnp.where(active, pos, -1)
 
     alive0 = (
@@ -246,8 +286,9 @@ def roc_encode_batch(sorted_ids, lengths, precision, pool, states: RocStates):
     return states, order.T  # [B, n_max]
 
 
-@partial(jax.jit, static_argnums=(4,))
-def roc_decode_batch(states: RocStates, lengths, precision, pool, n_max: int):
+@partial(jax.jit, static_argnums=(4, 5))
+def roc_decode_batch(states: RocStates, lengths, precision, pool, n_max: int,
+                     n_slices: int = 4):
     """Decode B lists in lockstep; inverse of ``roc_encode_batch``.
 
     Returns (ids, states): ids u64[B, n_max] in encode sampling order
@@ -258,7 +299,7 @@ def roc_decode_batch(states: RocStates, lengths, precision, pool, n_max: int):
     def step(st_and_syms, i):
         st, syms = st_and_syms
         active = i < lengths
-        symbol, st = _pop_symbol(st, pool, precision, active)
+        symbol, st = _pop_symbol(st, pool, precision, active, n_slices)
         # rank among previously inserted (count of strictly smaller)
         seen = jnp.arange(n_max, dtype=jnp.int32)[None, :] < i
         smaller = seen & (syms < symbol[:, None])

@@ -162,7 +162,9 @@ class RocGraph(CompressedGraph):
             sorted_nb[i, : len(nb)] = np.sort(nb.astype(np.uint64))
             prec[i] = precision_for_max_id_safe(int(nb.max()))
         self.id_symbol_precision = prec.astype(np.int64)
-        cap = rd.stack_capacity(self.K, int(prec.max()) if self.N else 1)
+        maxp = int(prec.max()) if self.N else 1
+        self._n_slices = rd.n_slices_for(maxp)
+        cap = rd.stack_capacity(self.K, maxp)
         pool = rd.default_pool(self.K)
         # lanes with zero degree stay at the fresh state (reference skips them)
         states, _ = rd.roc_encode_batch(
@@ -171,6 +173,7 @@ class RocGraph(CompressedGraph):
             jnp.asarray(prec),
             pool,
             rd.fresh_states(self.N, cap),
+            self._n_slices,
         )
         if bool(np.asarray(states.err).any()):
             raise RuntimeError("MT19937 pool exhausted during graph ROC encode")
@@ -187,7 +190,8 @@ class RocGraph(CompressedGraph):
         lengths = jnp.asarray(self.degrees[np.asarray(nodes)])
         prec = self._prec_dev[nodes_j]
         pool = rd.default_pool(self.K)
-        ids, _ = rd.roc_decode_batch(sub, lengths, prec, pool, self.K)
+        ids, _ = rd.roc_decode_batch(sub, lengths, prec, pool, self.K,
+                                     self._n_slices)
         vals = np.asarray(ids).astype(np.int64)
         counts = self.degrees[np.asarray(nodes)]
         mask = np.arange(self.K)[None, :] < counts[:, None]

@@ -246,7 +246,8 @@ class RocInvertedLists(CompressedInvertedLists):
                 sorted_ids[lane, : len(v)] = v[perm]
                 prec[lane] = precision_for_max_id_safe(int(v.max()))
                 self.id_symbol_precision[ln] = prec[lane]
-            cap = rd.stack_capacity(n_pad, int(prec.max()))
+            maxp = int(prec.max())
+            cap = rd.stack_capacity(n_pad, maxp)
             pool = rd.default_pool(n_pad)
             states, order = rd.roc_encode_batch(
                 jnp.asarray(sorted_ids),
@@ -254,6 +255,7 @@ class RocInvertedLists(CompressedInvertedLists):
                 jnp.asarray(prec),
                 pool,
                 rd.fresh_states(B, cap),
+                rd.n_slices_for(maxp),
             )
             if bool(np.asarray(states.err).any()):
                 raise RuntimeError("MT19937 pool exhausted during ROC encode")
@@ -281,7 +283,9 @@ class RocInvertedLists(CompressedInvertedLists):
             lengths = jnp.asarray(bucket.lengths[lanes])
             prec = self._precisions[bi][jnp.asarray(lanes)]
             pool = rd.default_pool(n_pad)
-            ids, final = rd.roc_decode_batch(states, lengths, prec, pool, n_pad)
+            n_slices = rd.n_slices_for(int(np.asarray(prec).max()))
+            ids, final = rd.roc_decode_batch(states, lengths, prec, pool, n_pad,
+                                             n_slices)
             return ids
 
         return _decode_by_bucket(self, list_nos, decode_fn)

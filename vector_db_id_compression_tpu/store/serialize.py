@@ -1,0 +1,195 @@
+"""On-disk artifact format for compressed indexes.
+
+The reference has NO serialization for its compressed structures — they are
+rebuilt from the Faiss index on every run (search_ivf_qinco.py:502-524;
+SURVEY.md §5 flags this as the gap to fix). This module defines a durable
+artifact: one ``.npz`` per container holding the codec state arrays exactly
+as the device layout uses them (ANS heads/stacks + lengths + precisions, EF
+packed words + parameters, packed-bits words, wavelet-tree bit planes), plus
+payload codes. Loading reconstructs a fully functional container without the
+original uncompressed index.
+
+Determinism contract: arrays are written in list order, so artifacts are
+byte-stable across runs and across device counts (parallel.mesh gathers in
+lane order).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs import roc_device as rd
+from ..codecs.elias_fano import EliasFanoBatch
+from ..codecs.packed_bits import PackedBitsBatch
+from ..codecs.wavelet_tree import WaveletTree
+from ..core.bits import build_bitvector_batch
+from .invlists import (
+    CompressedInvertedLists,
+    EliasFanoInvertedLists,
+    PackedBitsInvertedLists,
+    RocInvertedLists,
+    WaveletTreeInvertedLists,
+)
+from .ragged import Bucket
+
+MAGIC = "vdbidc-tpu-v1"
+
+_KIND = {
+    RocInvertedLists: "roc",
+    EliasFanoInvertedLists: "elias_fano",
+    PackedBitsInvertedLists: "packed_bits",
+    WaveletTreeInvertedLists: "wavelet_tree",
+}
+_BY_KIND = {v: k for k, v in _KIND.items()}
+
+
+def _codes_to_flat(codes_all):
+    offsets = np.zeros(len(codes_all) + 1, dtype=np.int64)
+    for i, c in enumerate(codes_all):
+        offsets[i + 1] = offsets[i] + len(c)
+    flat = (
+        np.concatenate([c for c in codes_all])
+        if offsets[-1] > 0 else np.empty(0, np.uint8)
+    )
+    return flat, offsets
+
+
+def _codes_from_flat(flat, offsets):
+    return [flat[offsets[i]: offsets[i + 1]].copy() for i in range(len(offsets) - 1)]
+
+
+def save_invlists(path: Union[str, Path], c: CompressedInvertedLists) -> None:
+    kind = _KIND[type(c)]
+    arrs = {
+        "lengths": c._lengths,
+        "codes_flat": _codes_to_flat(c.codes_all)[0],
+        "codes_offsets": _codes_to_flat(c.codes_all)[1],
+        "sizes": np.array(
+            [c.compressed_ids_size_in_bytes, c.overhead_in_bytes, c.nlist,
+             c.code_size], dtype=np.int64,
+        ),
+    }
+    meta = dict(magic=MAGIC, kind=kind)
+
+    if kind == "roc":
+        arrs["id_symbol_precision"] = c.id_symbol_precision
+        for bi, (bucket, st, prec) in enumerate(
+            zip(c._buckets, c._states, c._precisions)
+        ):
+            arrs[f"b{bi}_list_ids"] = bucket.list_ids
+            arrs[f"b{bi}_lengths"] = bucket.lengths
+            arrs[f"b{bi}_npad"] = np.array([bucket.n_pad])
+            arrs[f"b{bi}_head"] = np.asarray(st.head)
+            arrs[f"b{bi}_stack"] = np.asarray(st.stack)
+            arrs[f"b{bi}_stack_len"] = np.asarray(st.stack_len)
+            arrs[f"b{bi}_mt_ctr"] = np.asarray(st.mt_ctr)
+            arrs[f"b{bi}_prec"] = np.asarray(prec)
+        meta["n_buckets"] = len(c._buckets)
+    elif kind == "elias_fano":
+        for bi, (bucket, ef) in enumerate(zip(c._buckets, c._efs)):
+            arrs[f"b{bi}_list_ids"] = bucket.list_ids
+            arrs[f"b{bi}_lengths"] = bucket.lengths
+            arrs[f"b{bi}_npad"] = np.array([bucket.n_pad])
+            arrs[f"b{bi}_high"] = np.asarray(ef.high.words)
+            arrs[f"b{bi}_nbits"] = np.asarray(ef.high.nbits)
+            arrs[f"b{bi}_low"] = np.asarray(ef.low_words)
+            arrs[f"b{bi}_l"] = np.asarray(ef.l)
+            arrs[f"b{bi}_m"] = np.asarray(ef.m)
+        meta["n_buckets"] = len(c._buckets)
+    elif kind == "packed_bits":
+        arrs["bits"] = np.array([c.bits])
+        for bi, (bucket, pb) in enumerate(zip(c._buckets, c._packed)):
+            arrs[f"b{bi}_list_ids"] = bucket.list_ids
+            arrs[f"b{bi}_lengths"] = bucket.lengths
+            arrs[f"b{bi}_npad"] = np.array([bucket.n_pad])
+            arrs[f"b{bi}_words"] = np.asarray(pb.words)
+        meta["n_buckets"] = len(c._buckets)
+    elif kind == "wavelet_tree":
+        arrs["wt_words"] = np.asarray(c.wt.words)
+        arrs["wt_meta"] = np.array([c.wt.n, c.wt.levels, c.wt_type])
+
+    np.savez(path, **arrs, **{f"meta_{k}": np.array(str(v)) for k, v in meta.items()})
+
+
+def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
+    z = np.load(path, allow_pickle=False)
+    assert str(z["meta_magic"]) == MAGIC, "bad artifact magic"
+    kind = str(z["meta_kind"])
+    cls = _BY_KIND[kind]
+    c = cls.__new__(cls)
+    sizes = z["sizes"]
+    c.compressed_ids_size_in_bytes = int(sizes[0])
+    c.overhead_in_bytes = int(sizes[1])
+    c.nlist = int(sizes[2])
+    c.code_size = int(sizes[3])
+    c._lengths = z["lengths"]
+    c.codes_all = _codes_from_flat(z["codes_flat"], z["codes_offsets"])
+
+    def load_buckets():
+        n_buckets = int(str(z["meta_n_buckets"]))
+        buckets, l2b = [], {}
+        for bi in range(n_buckets):
+            b = Bucket(
+                list_ids=z[f"b{bi}_list_ids"],
+                lengths=z[f"b{bi}_lengths"],
+                n_pad=int(z[f"b{bi}_npad"][0]),
+            )
+            buckets.append(b)
+            for lane, ln in enumerate(b.list_ids):
+                l2b[int(ln)] = (bi, lane)
+        return buckets, l2b
+
+    if kind == "roc":
+        c.id_symbol_precision = z["id_symbol_precision"]
+        c._buckets, c._list_to_bucket = load_buckets()
+        c._states, c._precisions = [], []
+        for bi in range(len(c._buckets)):
+            c._states.append(
+                rd.RocStates(
+                    head=jnp.asarray(z[f"b{bi}_head"]),
+                    stack=jnp.asarray(z[f"b{bi}_stack"]),
+                    stack_len=jnp.asarray(z[f"b{bi}_stack_len"]),
+                    mt_ctr=jnp.asarray(z[f"b{bi}_mt_ctr"]),
+                    err=jnp.zeros(len(z[f"b{bi}_head"]), dtype=bool),
+                )
+            )
+            c._precisions.append(jnp.asarray(z[f"b{bi}_prec"]))
+    elif kind == "elias_fano":
+        c._buckets, c._list_to_bucket = load_buckets()
+        c._efs = []
+        for bi in range(len(c._buckets)):
+            c._efs.append(
+                EliasFanoBatch(
+                    high=build_bitvector_batch(
+                        jnp.asarray(z[f"b{bi}_high"]), jnp.asarray(z[f"b{bi}_nbits"])
+                    ),
+                    low_words=jnp.asarray(z[f"b{bi}_low"]),
+                    l=jnp.asarray(z[f"b{bi}_l"]),
+                    m=jnp.asarray(z[f"b{bi}_m"]),
+                )
+            )
+    elif kind == "packed_bits":
+        c.bits = int(z["bits"][0])
+        c._buckets, c._list_to_bucket = load_buckets()
+        c._packed = []
+        for bi, b in enumerate(c._buckets):
+            c._packed.append(
+                PackedBitsBatch(
+                    words=jnp.asarray(z[f"b{bi}_words"]),
+                    lengths=jnp.asarray(b.lengths),
+                    width=c.bits,
+                )
+            )
+    elif kind == "wavelet_tree":
+        n, levels, wt_type = (int(v) for v in z["wt_meta"])
+        words = jnp.asarray(z["wt_words"])
+        pops = np.cumsum(
+            np.bitwise_count(z["wt_words"].astype(np.uint32)).astype(np.int64), axis=1
+        )
+        c.wt = WaveletTree(words, jnp.asarray(pops), n, levels)
+        c.wt_type = wt_type
+    return c
