@@ -89,10 +89,11 @@ def main():
     lengths = jnp.asarray(lengths_l)
     precision = jnp.asarray(prec)
 
+    n_slices = rd.n_slices_for(int(prec.max()))
     t0 = time.time()
     states, _ = rd.roc_encode_batch(
         jnp.asarray(sorted_ids), lengths, precision, pool,
-        rd.fresh_states(NLIST, cap),
+        rd.fresh_states(NLIST, cap), n_slices,
     )
     jax.block_until_ready(states)
     t_enc_first = time.time() - t0
@@ -101,14 +102,24 @@ def main():
         f"bytes {int(np.asarray(states.size_bytes).sum())} "
         f"({8*np.asarray(states.size_bytes).sum()/NTOTAL:.2f} bits/id)")
 
-    # warm up decode (compile)
-    ids, fin = rd.roc_decode_batch(states, lengths, precision, pool, n_max)
+    # decode via the Pallas kernel (device-resident prepared decoder);
+    # falls back to the XLA scan path if unsupported
+    from vector_db_id_compression_tpu.ops.roc_pallas import RocPallasDecoder
+
+    decoder = RocPallasDecoder(states, lengths_l, prec, pool, n_max)
+    ids, ok = decoder.decode()  # warm up (compile)
     jax.block_until_ready(ids)
+    if not ok:
+        log("pallas decoder flagged fallback; timing XLA scan path")
+        decode = lambda: rd.roc_decode_batch(
+            states, lengths, precision, pool, n_max, n_slices)[0]
+    else:
+        decode = lambda: decoder.decode()[0]
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        ids, fin = rd.roc_decode_batch(states, lengths, precision, pool, n_max)
+        ids = decode()
         jax.block_until_ready(ids)
         times.append(time.time() - t0)
     dec_s = min(times)

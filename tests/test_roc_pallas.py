@@ -1,0 +1,52 @@
+"""Pallas ROC decode kernel (interpret mode on CPU): bit-exact vs the XLA
+scan decoder, hence vs the C++ reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vector_db_id_compression_tpu.codecs import roc_device as rd
+from vector_db_id_compression_tpu.codecs.roc import precision_for_max_id_safe
+from vector_db_id_compression_tpu.ops.roc_pallas import roc_decode_pallas
+
+
+def _encode_batch(rng, sizes, bits):
+    n_max = max(sizes)
+    B = len(sizes)
+    ids = np.zeros((B, n_max), dtype=np.uint64)
+    prec = np.zeros(B, dtype=np.int32)
+    for b, n in enumerate(sizes):
+        v = np.sort(rng.choice(2**bits - 1, size=n, replace=False).astype(np.uint64) + 1)
+        ids[b, :n] = v
+        prec[b] = precision_for_max_id_safe(int(v.max()))
+    lengths = np.array(sizes, dtype=np.int32)
+    maxp = int(prec.max())
+    cap = rd.stack_capacity(n_max, maxp)
+    pool = rd.default_pool(n_max)
+    states, _ = rd.roc_encode_batch(
+        jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(prec), pool,
+        rd.fresh_states(B, cap), rd.n_slices_for(maxp),
+    )
+    return ids, lengths, prec, states, pool, n_max, maxp
+
+
+@pytest.mark.parametrize(
+    "sizes,bits",
+    [([64], 16), ([1, 5, 128, 37], 16), ([513, 2, 300], 20), ([1000] * 3, 24)],
+)
+def test_pallas_decode_bit_exact(sizes, bits):
+    rng = np.random.default_rng(sum(sizes) + bits)
+    ids, lengths, prec, states, pool, n_max, maxp = _encode_batch(rng, sizes, bits)
+
+    ref_ids, _ = rd.roc_decode_batch(
+        states, jnp.asarray(lengths), jnp.asarray(prec), pool, n_max,
+        rd.n_slices_for(maxp),
+    )
+    ref_ids = np.asarray(ref_ids)
+
+    got, ok = roc_decode_pallas(
+        states, lengths, prec, pool, n_max, interpret=True
+    )
+    assert ok
+    np.testing.assert_array_equal(got, ref_ids)

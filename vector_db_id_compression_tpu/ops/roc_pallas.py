@@ -1,0 +1,309 @@
+"""ROC decode as a single Pallas TPU kernel.
+
+The XLA scan implementation (codecs.roc_device) pays ~25us of kernel overhead
+per element step regardless of op size; this kernel keeps all codec state
+resident in VMEM and runs the whole sequential chain in one `fori_loop`, so a
+step costs actual VPU cycles (~100-1000x less). Bit-exact with the scan path
+and therefore with the C++ reference (verified in tests via interpret mode and
+against the host oracle).
+
+Restrictions (callers fall back to codecs.roc_device otherwise):
+  - symbol precision <= 32 bits (ids < 2^32 — true for every published
+    workload incl. BigANN1B);
+  - list length < 2^16 per bucket (the in-kernel 64x16-bit multiply bound).
+
+Layout: everything transposed to [columns, lanes] with lanes minor (Mosaic
+requires 128-aligned dynamic indexing only on the minor dim; our dynamic
+element index then lives on the sublane axis where uniform-row writes are
+native). The 64-bit rANS head is an (hi, lo) i32 pair with unsigned semantics
+by construction: hi < 2^31 always (head < 2^63), lo uses xor/logical-shift
+tricks. The MT19937 initial-bits pool is pre-composed *below* the stack in
+one buffer, so "stack empty -> draw from mt" (reference codec.h:32-40) is the
+same pop instruction reading below the stack base.
+
+Per element step (inverse of reference codec.cpp:140-152):
+  codec_pop (two 16-bit slices, high first)  -> symbol
+  rank = #smaller among previously inserted  (one masked compare+reduce)
+  push_with_finer_precision(rank, i+1)       (scalar modulus per step)
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+# Mosaic lowering of pallas_call nested under jit recurses deeply
+if sys.getrecursionlimit() < 100_000:
+    sys.setrecursionlimit(100_000)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codecs import roc_device as rd
+
+LANE_BLOCK = 256
+POOL_ROWS = 32  # decode rarely draws initial bits; err flag + fallback if exceeded
+
+_I32_MIN = -2147483648  # python int: weak-typed, avoids device-const capture
+
+
+def _ult(a, b):
+    """Unsigned 32-bit a < b on i32 carriers."""
+    return (a ^ _I32_MIN) < (b ^ _I32_MIN)
+
+
+def _srl(x, p):
+    return jax.lax.shift_right_logical(x, jnp.asarray(p, jnp.int32))
+
+
+def _sll(x, p):
+    return jax.lax.shift_left(x, jnp.asarray(p, jnp.int32))
+
+
+def _decode_kernel(n_max: int, capp: int, n_slices: int):
+    """Returns the kernel fn for given static shapes."""
+
+    def kernel(buf_in, hi_in, lo_in, ptr_in, len_in, prec_in,
+               emit_out, hi_out, lo_out, ptr_out, err_out,
+               buf_s, syms_s):
+        B = hi_in.shape[1]
+        rows_buf = jax.lax.broadcasted_iota(jnp.int32, (capp, B), 0)
+        rows_sym = jax.lax.broadcasted_iota(jnp.int32, (n_max, B), 0)
+        buf_s[:] = buf_in[:]
+        lengths = len_in[:]
+        prec = prec_in[:]
+
+        def pop_word(ptr, take, err):
+            """One 32-bit refill word per lane from the unified stack+pool
+            buffer; decrements ptr where taken."""
+            w = jnp.sum(
+                jnp.where(rows_buf == (ptr - 1), buf_s[:], jnp.int32(0)),
+                axis=0, keepdims=True, dtype=jnp.int32,
+            )
+            err = err | (take & (ptr <= 0)).astype(jnp.int32)
+            return w, ptr - take.astype(jnp.int32), err
+
+        def body(i, carry):
+            hi, lo, ptr, err = carry
+            active = i < lengths
+
+            # ---- codec_pop: slices high -> low (codec.cpp:107-121) -------
+            symbol = jnp.zeros_like(lo)
+            for si in range(n_slices - 1, -1, -1):
+                lower = 16 * si
+                p = jnp.clip(prec - lower, jnp.int32(0), jnp.int32(16))
+                mask = _sll(jnp.int32(1), p) - 1
+                cfs = lo & mask
+                lo1 = jnp.where(
+                    p == 0, lo, _srl(lo, p) | _sll(hi & mask, (32 - p) & 31)
+                )
+                hi1 = _srl(hi, p)
+                refill = (hi1 == 0) & (lo1 >= 0) & active
+                w, ptr, err = pop_word(ptr, refill, err)
+                hi2 = jnp.where(refill, lo1, hi1)
+                lo2 = jnp.where(refill, w, lo1)
+                hi = jnp.where(active, hi2, hi)
+                lo = jnp.where(active, lo2, lo)
+                symbol = jnp.where(active, _sll(symbol, 16) | cfs, symbol)
+
+            # ---- insert + rank (count strictly smaller already inserted) --
+            smaller = (rows_sym < i) & _ult(syms_s[:], symbol)
+            rank = jnp.sum(smaller, axis=0, keepdims=True, dtype=jnp.int32)
+            syms_s[:] = jnp.where(rows_sym == i, symbol, syms_s[:])
+
+            # ---- push_with_finer_precision(rank, i+1) (codec.cpp:44-63) --
+            nm = i + 1  # scalar modulus
+            # q32 = floor(2^31 / nm) without i32 overflow: via 2^30
+            a = jnp.int32(1 << 30)
+            q30, r30 = a // nm, a % nm
+            q32 = 2 * q30 + (2 * r30) // nm
+            spill = (hi >= q32) & active
+            # write lo at ptr (visible to the refill below via buf_s)
+            buf_s[:] = jnp.where((rows_buf == ptr) & spill, lo, buf_s[:])
+            err = err | (spill & (ptr >= capp)).astype(jnp.int32)
+            ptr = ptr + spill.astype(jnp.int32)
+            lo0 = jnp.where(spill, hi, lo)
+            hi0 = jnp.where(spill, jnp.int32(0), hi)
+            # head = head0 * nm + rank   (nm < 2^16)
+            p0 = (lo0 & 0xFFFF) * nm
+            p1 = _srl(lo0, 16) * nm
+            t = _srl(p0, 16) + p1
+            new_lo = (p0 & 0xFFFF) | _sll(t, 16)
+            carry_hi = _srl(t, 16)
+            new_hi = hi0 * nm + carry_hi
+            lo_r = new_lo + rank
+            new_hi = new_hi + _ult(lo_r, new_lo).astype(jnp.int32)
+            refill2 = (new_hi == 0) & (lo_r >= 0) & active
+            w2, ptr, err = pop_word(ptr, refill2, err)
+            hi = jnp.where(active, jnp.where(refill2, lo_r, new_hi), hi)
+            lo = jnp.where(active, jnp.where(refill2, w2, lo_r), lo)
+
+            emit_out[:] = jnp.where(
+                (rows_sym == i) & active, symbol, emit_out[:]
+            )
+            return hi, lo, ptr, err
+
+        hi0 = hi_in[:]
+        lo0 = lo_in[:]
+        ptr0 = ptr_in[:]
+        err0 = jnp.zeros(ptr0.shape, dtype=jnp.int32)
+        emit_out[:] = jnp.zeros((n_max, B), jnp.int32)
+        # i32 bounds keep the loop index i32 even under x64 mode (Mosaic's
+        # 64-bit conversion lowering is pathological)
+        hi, lo, ptr, err = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_max), body, (hi0, lo0, ptr0, err0)
+        )
+        hi_out[:] = hi
+        lo_out[:] = lo
+        ptr_out[:] = ptr
+        err_out[:] = err
+
+    return kernel
+
+
+def _pad_to(x: np.ndarray, axis: int, size: int, fill=0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, size - x.shape[axis])
+    return np.pad(x, pad, constant_values=fill)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 9))
+def _decode_call(buf, hi, lo, ptr, n_max, capp, n_slices,
+                 lengths, precision, interpret=False):
+    B = buf.shape[1]
+    grid = B // LANE_BLOCK
+    kernel = _decode_kernel(n_max, capp, n_slices)
+    # note: the row index must match the loop-index dtype (i32) — a python 0
+    # literal becomes i64 under x64 mode and Mosaic rejects the mixed return
+    specs_col = lambda shape0: pl.BlockSpec(
+        (shape0, LANE_BLOCK), lambda g: (g - g, g), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            specs_col(capp), specs_col(1), specs_col(1), specs_col(1),
+            specs_col(1), specs_col(1),
+        ],
+        out_specs=[
+            specs_col(n_max), specs_col(1), specs_col(1), specs_col(1),
+            specs_col(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_max, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((capp, LANE_BLOCK), jnp.int32),
+            pltpu.VMEM((n_max, LANE_BLOCK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(buf, hi, lo, ptr, lengths, precision)
+    return out
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _prepare_and_decode(stack, stack_len, mt_ctr, head, lengths, precision,
+                        n_max, capp, interpret, pool):
+    """All-device: compose the unified pool+stack buffer, run the kernel,
+    un-reverse the emission order. Inputs are lane-major (B first); B must be
+    a multiple of LANE_BLOCK."""
+    B, cap = stack.shape
+    # pool prefix, reversed, starting at each lane's mt_ctr
+    draw_idx = mt_ctr[:, None] + (POOL_ROWS - 1 - jnp.arange(POOL_ROWS))[None, :]
+    pool_ok = jnp.all(draw_idx < pool.shape[0])
+    pool_part = pool[jnp.minimum(draw_idx, pool.shape[0] - 1)]  # [B, POOL_ROWS]
+    buf = jnp.concatenate(
+        [pool_part, stack,
+         jnp.zeros((B, capp - POOL_ROWS - cap), jnp.uint32)], axis=1
+    )
+    buf = jax.lax.bitcast_convert_type(buf, jnp.int32).T
+    ptr0 = (POOL_ROWS + stack_len).astype(jnp.int32)[None, :]
+    hi = jax.lax.bitcast_convert_type(
+        (head >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)[None, :]
+    lo = jax.lax.bitcast_convert_type(
+        (head & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)[None, :]
+    lens = lengths.astype(jnp.int32)[None, :]
+    prec = precision.astype(jnp.int32)[None, :]
+
+    emit, hi_f, lo_f, ptr_f, err = _decode_call(
+        buf, hi, lo, ptr0, n_max, capp, 2, lens, prec, interpret
+    )
+    emit_u = jax.lax.bitcast_convert_type(emit.T, jnp.uint32).astype(jnp.uint64)
+    j = jnp.arange(n_max, dtype=jnp.int32)[None, :]
+    src = jnp.clip(lengths[:, None] - 1 - j, 0, n_max - 1)
+    ids = jnp.take_along_axis(emit_u, src, axis=1)
+    ids = jnp.where(j < lengths[:, None], ids, 0)
+    err_any = jnp.any(err != 0) | ~pool_ok
+    return ids, err_any
+
+
+class RocPallasDecoder:
+    """Prepared, device-resident ROC decoder over a lane batch.
+
+    Build once per container bucket; ``decode()`` and ``decode_lanes()`` are
+    thin all-device calls. Falls back signaled via ok=False (pool underflow /
+    capacity edge cases) — callers then use codecs.roc_device."""
+
+    @staticmethod
+    def supports(max_precision: int, n_max: int) -> bool:
+        return max_precision <= 32 and n_max < (1 << 16)
+
+    def __init__(self, states: rd.RocStates, lengths, precision, pool, n_max: int):
+        lengths = np.asarray(lengths, dtype=np.int32)
+        precision = np.asarray(precision, dtype=np.int32)
+        if not self.supports(int(precision.max(initial=0)), n_max):
+            raise ValueError("pallas decode supports precision <= 32, n_max < 2^16")
+        self.B0 = lengths.shape[0]
+        B = -(-self.B0 // LANE_BLOCK) * LANE_BLOCK
+        pad = B - self.B0
+        self._stack = jnp.pad(states.stack, ((0, pad), (0, 0)))
+        self._stack_len = jnp.pad(states.stack_len, (0, pad))
+        self._mt_ctr = jnp.pad(states.mt_ctr, (0, pad))
+        self._head = jnp.pad(states.head, (0, pad),
+                             constant_values=np.uint64(1 << 31))
+        self._lengths = jnp.asarray(np.pad(lengths, (0, pad)))
+        self._prec = jnp.asarray(np.pad(precision, (0, pad)))
+        self._pool = jnp.asarray(pool, dtype=jnp.uint32)
+        self.n_max = n_max
+        cap = states.stack.shape[1]
+        self._capp = -(-(POOL_ROWS + cap + 8) // 8) * 8
+        self._n_max_pad = -(-n_max // 8) * 8
+
+    def decode(self, interpret: bool = False):
+        """→ (ids u64[B0, n_max] device array, ok bool)."""
+        ids, err = _prepare_and_decode(
+            self._stack, self._stack_len, self._mt_ctr, self._head,
+            self._lengths, self._prec,
+            self._n_max_pad, self._capp, interpret, self._pool,
+        )
+        return ids[: self.B0, : self.n_max], not bool(err)
+
+    def decode_lanes(self, lane_idx: np.ndarray, interpret: bool = False):
+        """Decode a subset of lanes (padded to a LANE_BLOCK multiple)."""
+        q0 = len(lane_idx)
+        Q = -(-q0 // LANE_BLOCK) * LANE_BLOCK
+        idx = jnp.asarray(
+            np.pad(np.asarray(lane_idx, np.int64), (0, Q - q0)), jnp.int32
+        )
+        ids, err = _prepare_and_decode(
+            self._stack[idx], self._stack_len[idx], self._mt_ctr[idx],
+            self._head[idx], self._lengths[idx], self._prec[idx],
+            self._n_max_pad, self._capp, interpret, self._pool,
+        )
+        return ids[:q0, : self.n_max], not bool(err)
+
+
+def roc_decode_pallas(states: rd.RocStates, lengths, precision, pool, n_max: int,
+                      interpret: bool = False):
+    """One-shot convenience wrapper (prepares and decodes). Returns numpy
+    (ids u64[B, n_max] zero-padded in encode sampling order, ok)."""
+    dec = RocPallasDecoder(states, lengths, precision, pool, n_max)
+    ids, ok = dec.decode(interpret=interpret)
+    return np.asarray(ids), ok

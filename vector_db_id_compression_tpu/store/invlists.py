@@ -275,9 +275,37 @@ class RocInvertedLists(CompressedInvertedLists):
             self.compressed_ids_size_in_bytes += int(
                 np.asarray(states.size_bytes)[np.asarray(bucket.lengths) > 0].sum()
             )
+        self._pallas = {}  # bucket -> RocPallasDecoder, built lazily
+
+    def _pallas_decoder(self, bi):
+        """Per-bucket Pallas decoder (the VMEM-resident fast path), or None
+        when the bucket is outside the kernel's envelope."""
+        if bi not in self._pallas:
+            from ..ops.roc_pallas import RocPallasDecoder
+
+            bucket = self._buckets[bi]
+            maxp = int(np.asarray(self._precisions[bi]).max())
+            # the Mosaic kernel needs a TPU; on CPU the XLA scan path is the
+            # compiled fast path (Pallas interpret mode is test-only)
+            if jax.default_backend() == "cpu":
+                self._pallas[bi] = None
+            elif RocPallasDecoder.supports(maxp, bucket.n_pad):
+                self._pallas[bi] = RocPallasDecoder(
+                    self._states[bi], bucket.lengths,
+                    np.asarray(self._precisions[bi]),
+                    rd.default_pool(bucket.n_pad), bucket.n_pad,
+                )
+            else:
+                self._pallas[bi] = None
+        return self._pallas[bi]
 
     def decode_lists(self, list_nos):
         def decode_fn(bi, lanes, n_pad):
+            dec = self._pallas_decoder(bi)
+            if dec is not None:
+                ids, ok = dec.decode_lanes(lanes)
+                if ok:
+                    return ids
             bucket = self._buckets[bi]
             states = _gather_lanes(self._states[bi], lanes)
             lengths = jnp.asarray(bucket.lengths[lanes])

@@ -147,6 +147,7 @@ def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
         c.id_symbol_precision = z["id_symbol_precision"]
         c._buckets, c._list_to_bucket = load_buckets()
         c._states, c._precisions = [], []
+        c._pallas = {}
         for bi in range(len(c._buckets)):
             c._states.append(
                 rd.RocStates(
