@@ -23,8 +23,24 @@ is `jax.sharding.Mesh` + `shard_map` data parallelism over lists.
 mode at import. All public entry points work on CPU and TPU backends.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# honor an explicit JAX_PLATFORMS=cpu (tests, CI): the axon sitecustomize
+# pins jax_platforms="axon,cpu" at interpreter start, overriding the env var
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    _jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the codec scan kernels are expensive to compile;
+# without this every CLI invocation recompiles from scratch
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("VDBIDC_COMPILE_CACHE", "/tmp/jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 __version__ = "0.1.0"

@@ -1,0 +1,119 @@
+"""NSG online (dynamic) benchmark — reference P2 parity
+(``alt-graph-index/graph_dynamic_bench_invlists.py:1-148``).
+
+Build an NSG-style graph with a given max degree, then for each adjacency
+container {ref, compact, elias-fano, roc} swap it in (the analogue of
+``nsg.replace_final_graph``, ``altid.swig:88-92``), time k-NN searches, and
+record search time + compressed adjacency size to CSV.
+
+Usage::
+
+    python -m vector_db_id_compression_tpu.bench.graph_dynamic_bench \
+        --dataset synthetic --max-degree 32 --runs 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+from ..search.nsg import build_nsg, search_graph
+from ..store.graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
+
+METHOD_MAP = {
+    "ref": lambda g: g,
+    "compact": CompactBitGraph,
+    "elias-fano": EliasFanoGraph,
+    "roc": RocGraph,
+}
+
+METHODS = ["ref", "compact", "elias-fano", "roc"]
+
+
+def run_bench(ds, max_degree: int, runs: int = 100, k: int = 10,
+              methods: List[str] = METHODS,
+              out_csv: str = "graph_dynamic_bench_out.csv"):
+    xb = ds.get_database()
+    xq = ds.get_queries()
+    gt = ds.get_groundtruth(k)
+    print(f"dataset {ds}  NSG{max_degree}", flush=True)
+    t0 = time.time()
+    base, medoid = build_nsg(xb, R=max_degree)
+    adjacency = base.adjacency
+    num_edges = int((adjacency >= 0).sum())
+    print(f"  graph built in {time.time()-t0:.1f}s, {num_edges} edges",
+          flush=True)
+
+    rows = []
+    for m in methods:
+        t0 = time.time()
+        g = METHOD_MAP[m](base)
+        build_time = time.time() - t0
+        if m == "ref":
+            # raw int32 adjacency (what faiss stores); reference models
+            # compact as log2(nb)/8*num_edges (graph_dynamic_bench:33-34)
+            ids_size = adjacency.size * 4
+            overhead = 0
+        else:
+            ids_size = g.compressed_ids_size_in_bytes
+            overhead = g.overhead_in_bytes
+
+        search_graph(g, xb, xq, k, entry=medoid)  # warmup/compile
+        times = []
+        I = None
+        for _ in range(runs):
+            t0 = time.time()
+            _, I, _ = search_graph(g, xb, xq, k, entry=medoid)
+            times.append(time.time() - t0)
+        recall = float((I[:, :1] == gt[:, :1]).sum()) / len(xq)
+        row = dict(
+            method=m, max_degree=max_degree, k=k, nq=len(xq),
+            dt_search=float(np.median(times)),
+            ids_size=int(ids_size), overhead_size=int(overhead),
+            bits_per_edge=8.0 * ids_size / max(num_edges, 1),
+            recall_1=recall, build_time=build_time,
+            dataset=str(ds), runs=runs,
+        )
+        rows.append(row)
+        print(f"  {m:12s} dt={row['dt_search']*1e3:8.2f}ms "
+              f"bits/edge={row['bits_per_edge']:6.2f} R@1={recall:.3f}",
+              flush=True)
+        with open(out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0].isdigit():  # reference positional form
+        from .datasets import get_dataset
+        ds = get_dataset(int(argv[0]), argv[2] if len(argv) > 2 else None)
+        return run_bench(ds, int(argv[1]))
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "sift1m", "deep1m", "fb_ssnpp"])
+    p.add_argument("--max-degree", type=int, default=32)
+    p.add_argument("--runs", type=int, default=100)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--methods", nargs="+", default=METHODS)
+    p.add_argument("--fb_ssnpp_dir", default=None)
+    p.add_argument("--synth_scale", type=float, default=1.0)
+    p.add_argument("--out", default="graph_dynamic_bench_out.csv")
+    a = p.parse_args(argv)
+
+    from .datasets import get_dataset
+    ds = get_dataset(a.dataset, a.fb_ssnpp_dir, synth_scale=a.synth_scale)
+    run_bench(ds, a.max_degree, runs=a.runs, k=a.k, methods=a.methods,
+              out_csv=a.out)
+
+
+if __name__ == "__main__":
+    main()

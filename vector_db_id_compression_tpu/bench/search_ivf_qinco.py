@@ -1,0 +1,225 @@
+"""Large-scale QINCo IVF pipeline — reference P5 parity
+(``custom_invlist_cpp/search_ivf_qinco.py:1-531``).
+
+Three phases, each resumable from on-disk artifacts (the reference uses
+``faiss.write_index``; here the model + centroids land in an ``.npz`` and the
+ID lists in the store/serialize artifact):
+
+  - ``train``:  k-means coarse quantizer + QINCo neural residual codec
+                (search_ivf_qinco.py:38-118);
+  - ``add``:    encode the database, build the inverted lists (:126-177);
+  - ``search``: deferred-ID-decoding search returning shortlist codes, QINCo
+                neural decode of the shortlist, exact L2 re-rank, recall@1/10/100
+                + timing JSON (:185-315). ``--id_compression`` selects the ID
+                codec (:384-388, :502-524); ``--defer_id_decoding`` and the
+                ``id_decoding_1by1 = comp != "roc"`` policy (:417) match.
+
+Usage::
+
+    python -m vector_db_id_compression_tpu.bench.search_ivf_qinco \
+        --todo train add search --dataset synthetic --nlist 256 --M 8 \
+        --id_compression roc --defer_id_decoding --nshort 100 --k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..models.qinco import QincoCodec
+from ..search.ivf import IndexIVF
+from ..store.invlists import (
+    EliasFanoInvertedLists,
+    InvertedLists,
+    PackedBitsInvertedLists,
+    RocInvertedLists,
+    WaveletTreeInvertedLists,
+)
+
+COMPRESSIONS = {
+    "none": None,
+    "packed-bits": PackedBitsInvertedLists,
+    "elias-fano": EliasFanoInvertedLists,
+    "roc": RocInvertedLists,
+    "wavelet-tree": lambda il: WaveletTreeInvertedLists(il, wt_type=0),
+    "wavelet-tree-1": lambda il: WaveletTreeInvertedLists(il, wt_type=1),
+}
+
+
+def _model_path(workdir: Path) -> Path:
+    return workdir / "qinco_index.pkl"
+
+
+def _lists_path(workdir: Path) -> Path:
+    return workdir / "invlists.pkl"
+
+
+def run_train(ds, args, workdir: Path) -> IndexIVF:
+    xt = ds.get_train()
+    qinco = QincoCodec(ds.d, args.M, ksub=args.ksub, hidden=args.hidden,
+                       seed=args.seed)
+    index = IndexIVF(ds.d, args.nlist, storage="qinco", qinco=qinco)
+    t0 = time.time()
+    index.train(xt, niter=args.kmeans_niter, qinco_steps=args.qinco_steps)
+    print(f"[train] done in {time.time()-t0:.1f}s", flush=True)
+    with open(_model_path(workdir), "wb") as f:
+        pickle.dump(dict(centroids=index.centroids, params=qinco.params,
+                         d=ds.d, nlist=args.nlist, M=args.M, ksub=args.ksub,
+                         hidden=args.hidden), f)
+    return index
+
+
+def load_index(args, workdir: Path) -> IndexIVF:
+    with open(_model_path(workdir), "rb") as f:
+        blob = pickle.load(f)
+    qinco = QincoCodec(blob["d"], blob["M"], ksub=blob["ksub"],
+                       hidden=blob["hidden"])
+    qinco.params = blob["params"]
+    index = IndexIVF(blob["d"], blob["nlist"], storage="qinco", qinco=qinco)
+    index.centroids = blob["centroids"]
+    return index
+
+
+def run_add(ds, args, workdir: Path):
+    index = load_index(args, workdir)
+    t0 = time.time()
+    index.add(ds.get_database())
+    print(f"[add] {index.ntotal} vectors in {time.time()-t0:.1f}s", flush=True)
+    il = index.invlists
+    with open(_lists_path(workdir), "wb") as f:
+        pickle.dump(dict(ids=il.ids, codes=il.codes, nlist=il.nlist,
+                         code_size=il.code_size, ntotal=index.ntotal), f)
+
+
+def load_lists(index: IndexIVF, workdir: Path):
+    with open(_lists_path(workdir), "rb") as f:
+        blob = pickle.load(f)
+    il = InvertedLists(blob["nlist"], blob["code_size"])
+    for ln in range(blob["nlist"]):
+        il.add_entries(ln, blob["ids"][ln], blob["codes"][ln])
+    index.invlists = il
+    index.ntotal = blob["ntotal"]
+    index.replace_invlists(il)
+
+
+def run_search(ds, args, workdir: Path):
+    index = load_index(args, workdir)
+    load_lists(index, workdir)
+    source = index.invlists
+
+    # swap in the requested ID compression (reference :502-524)
+    t0 = time.time()
+    fac = COMPRESSIONS[args.id_compression]
+    comp_time = 0.0
+    ids_size = index.ntotal * 8
+    if fac is not None:
+        container = fac(source)
+        comp_time = time.time() - t0
+        ids_size = container.compressed_ids_size_in_bytes
+        print(f"[search] compressed ids size {ids_size} "
+              f"compressed in {comp_time:.3f}s", flush=True)
+        index.replace_invlists(container)
+    decode_1by1 = args.id_compression not in ("roc",)  # reference :417
+
+    xq = ds.get_queries()
+    gt = ds.get_groundtruth(100)
+    nshort, k = args.nshort, args.k
+    M = index.qinco.M
+
+    def one_run():
+        t0 = time.time()
+        if args.defer_id_decoding:
+            D, I, codes = index.search_defer_id_decoding(
+                xq, nshort, nprobe=args.nprobe, decode_1by1=decode_1by1,
+                return_codes=2)
+        else:
+            D, I = index.search(xq, nshort, nprobe=args.nprobe)
+            codes = index._harvest_codes(
+                index.search_positional(xq, nshort, args.nprobe)[1], True)
+        t_search = time.time() - t0
+
+        # neural re-rank: decode shortlist codes, exact L2 (reference :263-296)
+        t0 = time.time()
+        pfx = index.coarse_code_size
+        flat_codes = codes.reshape(-1, codes.shape[-1])
+        qinco_codes = flat_codes[:, pfx:pfx + M].astype(np.int32)
+        dec = index.qinco.decode(qinco_codes).reshape(len(xq), nshort, -1)
+        diff = dec - xq[:, None, :]
+        d2 = (diff * diff).sum(axis=2)
+        d2 = np.where(I >= 0, d2, np.inf)
+        order = np.argsort(d2, axis=1)[:, :k]
+        I_rr = np.take_along_axis(I, order, axis=1)
+        t_rerank = time.time() - t0
+        return I_rr, t_search, t_rerank
+
+    one_run()  # warmup/compile
+    results = []
+    for run in range(args.runs):
+        I_rr, t_search, t_rerank = one_run()
+        recalls = {
+            str(r): float((I_rr[:, :r] == gt[:, :1]).sum()) / len(xq)
+            for r in (1, 10, 100) if r <= k
+        }
+        results.append(dict(run=run, t_search=t_search, t_rerank=t_rerank,
+                            recalls=recalls))
+        print(f"[search] run {run}: search {t_search:.3f}s "
+              f"rerank {t_rerank:.3f}s recalls {recalls}", flush=True)
+
+    out = dict(args=vars(args), ids_size=int(ids_size),
+               comp_time=comp_time, ntotal=index.ntotal,
+               bits_per_id=8.0 * ids_size / max(index.ntotal, 1),
+               results=results)
+    out_path = workdir / "search_results.json"
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out)[:2000], flush=True)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--todo", nargs="+", default=["train", "add", "search"],
+                   choices=["train", "add", "search"])
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "sift1m", "deep1m", "fb_ssnpp"])
+    p.add_argument("--fb_ssnpp_dir", default=None)
+    p.add_argument("--synth_scale", type=float, default=1.0)
+    p.add_argument("--workdir", default="qinco_work")
+    p.add_argument("--nlist", type=int, default=256)
+    p.add_argument("--M", type=int, default=8)
+    p.add_argument("--ksub", type=int, default=256)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--kmeans_niter", type=int, default=20)
+    p.add_argument("--qinco_steps", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--id_compression", default="none",
+                   choices=list(COMPRESSIONS))
+    p.add_argument("--defer_id_decoding", action="store_true")
+    p.add_argument("--nprobe", type=int, default=16)
+    p.add_argument("--nshort", type=int, default=100)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--runs", type=int, default=3)
+    args = p.parse_args(argv)
+
+    from .datasets import get_dataset
+    ds = get_dataset(args.dataset, args.fb_ssnpp_dir,
+                     synth_scale=args.synth_scale)
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    if "train" in args.todo:
+        run_train(ds, args, workdir)
+    if "add" in args.todo:
+        run_add(ds, args, workdir)
+    if "search" in args.todo:
+        run_search(ds, args, workdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,115 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+class QincoCodec:
+    """Trained-QINCo vector quantizer with the surface the IVF pipeline needs
+    (the TPU-native analogue of the reference's faiss-RQ + torch-QINCo pair,
+    search_ivf_qinco.py:185-315):
+
+      - ``train(x)``: fit the model on (residual) vectors;
+      - ``encode(x) -> u8[B, M]``: greedy neural encoding;
+      - ``decode(codes) -> f32[B, d]``: neural reconstruction (re-rank path);
+      - ``lin_codebooks f32[M, ksub, d]``: the per-step *base* codebooks —
+        the linear additive part of the model, used for LUT scanning (the
+        analogue of scanning with the plain RQ decoder while QINCo decodes
+        the same codes better);
+      - ``compute_luts(xq) -> f32[nq, M, ksub]`` of −2⟨x, C_m[j]⟩ terms and
+      - ``lin_decode(codes)`` / per-vector ``lin_norms`` for the AQ distance
+        d(x, x̂) = ‖x̂‖² − 2Σ_m ⟨x, C_m[c_m]⟩ + ‖x‖².
+    """
+
+    def __init__(self, d: int, M: int, ksub: int = 256, hidden: int = 256,
+                 lr: float = 1e-3, seed: int = 0):
+        assert ksub <= 256, "codes are stored as uint8"
+        self.model = Qinco(d=d, M=M, ksub=ksub, hidden=hidden)
+        self.d, self.M, self.ksub = d, M, ksub
+        self.lr = lr
+        self.seed = seed
+        self.params: Any = None
+
+    def _rq_init_params(self, params, x: np.ndarray):
+        """Residual-quantizer init: set each step's base codebook to k-means
+        centroids of the running residuals (the classic RQ recipe), so adam
+        only has to learn the neural deltas."""
+        from ..search.kmeans import assign, train_kmeans
+
+        params = jax.tree_util.tree_map(lambda a: a, dict(params))  # copy
+        resid = np.asarray(x, np.float32).copy()
+        for m in range(self.M):
+            cb = np.asarray(train_kmeans(resid, self.ksub, niter=10))
+            a = np.asarray(assign(jnp.asarray(resid), jnp.asarray(cb)))
+            resid -= cb[a]
+            params["params"][f"step{m}"]["codebook"] = jnp.asarray(cb)
+        return params
+
+    def train(self, x: np.ndarray, steps: int = 300, batch_size: int = 256,
+              verbose: bool = False, rq_init: bool = True):
+        x = np.asarray(x, np.float32)
+        n = len(x)
+        batch_size = min(batch_size, n)
+        init_fn, train_step = make_train_step(self.model, self.lr)
+        state = init_fn(jax.random.PRNGKey(self.seed), jnp.asarray(x[:8]))
+        if rq_init:
+            state = state._replace(params=self._rq_init_params(state.params, x))
+        step = jax.jit(train_step)
+        rng = np.random.default_rng(self.seed)
+        for i in range(steps):
+            batch = jnp.asarray(x[rng.choice(n, batch_size, replace=False)])
+            state, loss = step(state, batch)
+            if verbose and i % 50 == 0:
+                print(f"  qinco step {i}: loss {float(loss):.4f}", flush=True)
+        self.params = state.params
+        return self
+
+    # --------------------------------------------------------------- inference
+
+    def _apply(self, method, *args):
+        return self.model.apply(self.params, *args, method=method)
+
+    def encode(self, x: np.ndarray, batch: int = 4096) -> np.ndarray:
+        enc = jax.jit(lambda xb: self._apply(Qinco.encode, xb)[0])
+        out = []
+        for s in range(0, len(x), batch):
+            xb = np.asarray(x[s:s + batch], np.float32)
+            pad = 0
+            if len(xb) < batch and s > 0:
+                pad = batch - len(xb)
+                xb = np.pad(xb, ((0, pad), (0, 0)))
+            c = np.asarray(enc(jnp.asarray(xb)))
+            out.append(c[: len(c) - pad])
+        return np.concatenate(out).astype(np.uint8)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        dec = jax.jit(lambda c: self._apply(Qinco.decode, c))
+        return np.asarray(dec(jnp.asarray(codes, jnp.int32)))
+
+    @property
+    def lin_codebooks(self) -> np.ndarray:
+        cbs = [
+            np.asarray(self.params["params"][f"step{m}"]["codebook"])
+            for m in range(self.M)
+        ]
+        return np.stack(cbs)  # [M, ksub, d]
+
+    def lin_decode(self, codes: np.ndarray) -> np.ndarray:
+        cb = self.lin_codebooks
+        codes = np.asarray(codes, np.int64)
+        out = np.zeros((len(codes), self.d), np.float32)
+        for m in range(self.M):
+            out += cb[m][codes[:, m]]
+        return out
+
+    def lin_norms(self, codes: np.ndarray) -> np.ndarray:
+        xl = self.lin_decode(codes)
+        return (xl * xl).sum(axis=1).astype(np.float32)
+
+    def compute_luts(self, xq) -> jax.Array:
+        """f32[nq, M, ksub]: −2⟨x, C_m[j]⟩."""
+        cb = jnp.asarray(self.lin_codebooks)  # [M, ksub, d]
+        return -2.0 * jnp.einsum("qd,mkd->qmk", jnp.asarray(xq), cb,
+                                 preferred_element_type=jnp.float32)
+
+
 def make_train_step(model: Qinco, lr: float = 1e-3):
     """Returns (init_fn, train_step). train_step is a pure jittable function
     (params/opt sharded by the caller; batch dp-sharded)."""

@@ -1,0 +1,233 @@
+"""HNSW graph build + search, batched for the TPU compute path.
+
+Reference parity: the offline bench extracts HNSW level-0 links from a Faiss
+``HNSW{M},Flat`` index (``graph_static_bench_invlists.py:33-50,88-95``) and
+codes them with REC/zuckerli; the ID-compression containers apply to HNSW
+adjacency exactly as to NSG. This module provides the HNSW family natively:
+
+  - hierarchical layers with geometric level assignment (mL = 1/ln M),
+  - **chunked parallel insertion**: points are inserted in batches; each
+    batch greedy-descends the upper layers and ef-searches the lower layers
+    *against the current graph*, with all candidate distances computed as
+    one batched matmul on device (same kernel as search/nsg.py). Intra-batch
+    edges are recovered by a symmetric pass at the end of each batch. This is
+    the standard accelerator-friendly HNSW build (sequential per-point
+    insertion would serialize a million host round-trips).
+  - level-0 adjacency exposed as a plain [N, 2M] -1-padded array, drop-in
+    for Graph/CompactBit/EliasFano/Roc containers (store/graph.py) and for
+    :func:`get_level0_links` (parity with get_hnsw_links(...)[0]).
+
+Search descends layer by layer (greedy, ef=1) then runs the shared
+best-first pool search (search/nsg.py:search_graph) on layer 0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .nsg import _batch_dists, search_graph
+from ..store.graph import Graph
+
+import jax.numpy as jnp
+
+
+def _dists(xq_dev, xb_dev, nodes: np.ndarray) -> np.ndarray:
+    return np.asarray(_batch_dists(xq_dev, xb_dev, jnp.asarray(nodes)))
+
+
+class HNSW:
+    def __init__(self, M: int = 16, ef_construction: int = 40,
+                 seed: int = 1234):
+        self.M = M
+        self.Mmax0 = 2 * M
+        self.mL = 1.0 / math.log(M)
+        self.ef_construction = max(ef_construction, M)
+        self.seed = seed
+        self.levels: Optional[np.ndarray] = None     # level per point
+        self.layers: List[np.ndarray] = []           # [N, cap] adjacency per level
+        self.entry: int = 0
+        self.max_level: int = -1
+        self._xb: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------ build
+
+    def build(self, xb: np.ndarray, batch: int = 512) -> "HNSW":
+        xb = np.asarray(xb, np.float32)
+        N = len(xb)
+        self._xb = xb
+        rng = np.random.default_rng(self.seed)
+        self.levels = np.minimum(
+            np.floor(-np.log(rng.random(N)) * self.mL).astype(np.int32), 31)
+        self.max_level = int(self.levels.max())
+        self.layers = [
+            np.full((N, self.Mmax0 if l == 0 else self.M), -1, dtype=np.int32)
+            for l in range(self.max_level + 1)
+        ]
+        self.entry = int(np.argmax(self.levels))
+
+        xb_dev = jnp.asarray(xb)
+        order = np.arange(N)
+        # seed the graph with the entry point, then insert in chunks
+        inserted = np.zeros(N, dtype=bool)
+        inserted[self.entry] = True
+        rest = order[order != self.entry]
+        for s in range(0, len(rest), batch):
+            self._insert_batch(rest[s:s + batch], xb_dev, inserted)
+            inserted[rest[s:s + batch]] = True
+        return self
+
+    def _greedy_descend(self, pts: np.ndarray, xb_dev, start: np.ndarray,
+                        level: int, inserted: np.ndarray) -> np.ndarray:
+        """One greedy (ef=1) walk per point on `level`; batched distances."""
+        cur = start.copy()
+        xq_dev = jnp.asarray(self._xb[pts])
+        cur_d = _dists(xq_dev, xb_dev, cur[:, None])[:, 0]
+        adj = self.layers[level]
+        while True:
+            nbrs = adj[cur]                               # [B, cap]
+            valid = (nbrs >= 0) & inserted[np.maximum(nbrs, 0)]
+            cand = np.where(valid, nbrs, 0)
+            d = _dists(xq_dev, xb_dev, cand)
+            d = np.where(valid, d, np.inf)
+            best = np.argmin(d, axis=1)
+            bd = d[np.arange(len(pts)), best]
+            improve = bd < cur_d
+            if not improve.any():
+                return cur
+            cur = np.where(improve, nbrs[np.arange(len(pts)), best], cur)
+            cur_d = np.where(improve, bd, cur_d)
+
+    def _ef_search(self, pts: np.ndarray, xb_dev, start: np.ndarray,
+                   level: int, ef: int, inserted: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched best-first pool search on one layer restricted to inserted
+        nodes. Returns (ids [B, ef], dists [B, ef]) -1/inf padded."""
+        B = len(pts)
+        xq_dev = jnp.asarray(self._xb[pts])
+        pool_ids = np.full((B, ef), -1, dtype=np.int64)
+        pool_d = np.full((B, ef), np.inf, dtype=np.float32)
+        pool_exp = np.zeros((B, ef), dtype=bool)
+        visited = [set([int(s)]) for s in start]
+        pool_ids[:, 0] = start
+        pool_d[:, 0] = _dists(xq_dev, xb_dev, start[:, None].astype(np.int32))[:, 0]
+        adj = self.layers[level]
+        while True:
+            cand = np.where(pool_exp | (pool_ids < 0), np.inf, pool_d)
+            sel = np.argmin(cand, axis=1)
+            active = np.isfinite(cand[np.arange(B), sel])
+            if not active.any():
+                break
+            sel_nodes = np.where(active, pool_ids[np.arange(B), sel], 0).astype(np.int32)
+            pool_exp[np.arange(B), sel] |= active
+            nbrs = adj[sel_nodes]
+            K = nbrs.shape[1]
+            mask = np.zeros((B, K), dtype=bool)
+            for q in range(B):
+                if not active[q]:
+                    continue
+                for j in range(K):
+                    v = int(nbrs[q, j])
+                    if v >= 0 and inserted[v] and v not in visited[q]:
+                        visited[q].add(v)
+                        mask[q, j] = True
+            nodes = np.where(mask, nbrs, -1)
+            d2 = _dists(xq_dev, xb_dev, nodes)
+            all_ids = np.concatenate([pool_ids, np.where(mask, nbrs, -1)], axis=1)
+            all_d = np.concatenate([pool_d, np.where(mask, d2, np.inf)], axis=1)
+            all_exp = np.concatenate([pool_exp, np.zeros_like(mask)], axis=1)
+            ordr = np.lexsort((np.where(all_ids < 0, np.iinfo(np.int64).max,
+                                        all_ids), all_d), axis=1)[:, :ef]
+            r = np.arange(B)[:, None]
+            pool_ids, pool_d, pool_exp = all_ids[r, ordr], all_d[r, ordr], all_exp[r, ordr]
+        return pool_ids, pool_d
+
+    def _select_neighbors(self, cand_ids: np.ndarray, cand_d: np.ndarray,
+                          M: int) -> np.ndarray:
+        """Closest-M selection (cand arrays are distance-sorted already)."""
+        return cand_ids[:, :M]
+
+    def _insert_batch(self, pts: np.ndarray, xb_dev, inserted: np.ndarray):
+        B = len(pts)
+        lvls = self.levels[pts]
+        cur = np.full(B, self.entry, dtype=np.int32)
+        # descend from the top: greedy on levels above each point's level
+        for l in range(self.max_level, -1, -1):
+            above = lvls < l
+            if above.any():
+                sub = np.flatnonzero(above)
+                cur[sub] = self._greedy_descend(pts[sub], xb_dev, cur[sub], l,
+                                                inserted)
+            at = lvls >= l
+            if not at.any():
+                continue
+            sub = np.flatnonzero(at)
+            ids, d = self._ef_search(pts[sub], xb_dev, cur[sub], l,
+                                     self.ef_construction, inserted)
+            Mcap = self.Mmax0 if l == 0 else self.M
+            sel = self._select_neighbors(ids, d, min(self.M, Mcap))
+            adj = self.layers[l]
+            # link assignment + reverse links with degree-cap pruning
+            for row, bi in enumerate(sub):
+                p = int(pts[bi])
+                friends = [int(v) for v in sel[row] if v >= 0]
+                adj[p, :len(friends)] = friends
+                for v in friends:
+                    slot = np.flatnonzero(adj[v] < 0)
+                    if len(slot):
+                        adj[v, slot[0]] = p
+                    else:
+                        # prune: keep the Mcap closest of current ∪ {p}
+                        cand = np.append(adj[v], p)
+                        dv = self._pair_d(v, cand)
+                        keep = np.argsort(dv)[:Mcap]
+                        adj[v] = cand[keep]
+                cur[bi] = friends[0] if friends else cur[bi]
+
+    def _pair_d(self, v: int, cand: np.ndarray) -> np.ndarray:
+        x = self._xb[v]
+        y = self._xb[np.maximum(cand, 0)]
+        d = ((y - x) ** 2).sum(axis=1)
+        return np.where(cand >= 0, d, np.inf)
+
+    # ----------------------------------------------------------------- search
+
+    def level0_graph(self) -> Graph:
+        return Graph(self.layers[0])
+
+    def search(self, xq: np.ndarray, k: int, ef: Optional[int] = None,
+               graph0=None):
+        """Descend upper layers greedily, then pool-search layer 0. ``graph0``
+        optionally substitutes a compressed container for the level-0
+        adjacency (the replace_final_graph analogue)."""
+        xq = np.asarray(xq, np.float32)
+        xb_dev = jnp.asarray(self._xb)
+        inserted = np.ones(len(self._xb), dtype=bool)
+        cur = np.full(len(xq), self.entry, dtype=np.int32)
+        # greedy descent reads queries from self._xb[pts]; stash and swap
+        orig_xb = self._xb
+        self._xb = xq  # _greedy_descend indexes self._xb[pts] for queries
+        for l in range(self.max_level, 0, -1):
+            cur = self._greedy_descend(np.arange(len(xq)), xb_dev, cur, l,
+                                       inserted)
+        self._xb = orig_xb
+        g0 = graph0 if graph0 is not None else self.level0_graph()
+        # per-query entry points: search_graph takes one entry; run it per
+        # unique entry group (typically few after the descent)
+        D = np.full((len(xq), k), np.inf, dtype=np.float32)
+        I = np.full((len(xq), k), -1, dtype=np.int64)
+        for e in np.unique(cur):
+            qsub = np.flatnonzero(cur == e)
+            d, i, _ = search_graph(g0, orig_xb, xq[qsub], k,
+                                   L=ef or 2 * k, entry=int(e))
+            D[qsub], I[qsub] = d, i
+        return D, I
+
+
+def get_level0_links(index: HNSW, vno: int) -> np.ndarray:
+    """Parity helper: level-0 friend list of one vertex
+    (graph_static_bench_invlists.py:33-50 restricted to level 0)."""
+    row = index.layers[0][vno]
+    return row[row >= 0]

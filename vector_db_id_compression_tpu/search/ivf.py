@@ -86,6 +86,29 @@ def _scan_flat_bucket(xq, vecs, lengths, pairs, k):
     return -neg, offs
 
 
+@partial(jax.jit, static_argnums=(5,))
+def _scan_aq_bucket(luts, codes, norms, lengths, pairs, k):
+    """Additive-quantizer scan (the qinco storage mode): luts f32[nq, M, ksub]
+    holds −2⟨x, C_m[j]⟩ over the model's linear codebooks; norms f32[B, n_pad]
+    holds the stored ‖x̂_lin‖² per entry. d2 = ‖x̂‖² − 2⟨x, x̂⟩ (+‖x‖² at
+    merge, like the flat path)."""
+    q_idx, lane = pairs
+    lut_p = luts[q_idx]                            # [P, M, ksub]
+    idx = codes[lane].astype(jnp.int32)            # [P, n_pad, M]
+    idx_t = jnp.swapaxes(idx, 1, 2)                # [P, M, n_pad]
+    gathered = jnp.take_along_axis(lut_p, idx_t, axis=2)
+    d2 = jnp.sum(gathered, axis=1) + norms[lane]   # [P, n_pad]
+    n_pad = d2.shape[1]
+    mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= lengths[lane][:, None]
+    d2 = jnp.where(mask, jnp.inf, d2)
+    kk = min(k, n_pad)
+    neg, offs = jax.lax.top_k(-d2, kk)
+    if kk < k:
+        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        offs = jnp.pad(offs, ((0, 0), (0, k - kk)), constant_values=0)
+    return -neg, offs
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _scan_pq_bucket(luts, codes, lengths, pairs, k):
     """luts f32[nq, M, ksub]; codes u8[B, n_pad, M]."""
@@ -127,21 +150,31 @@ def _pad_pow2(n: int, lo: int = 8) -> int:
 class _ScanBucket:
     list_ids: np.ndarray      # i64[B] list numbers
     lengths_dev: jax.Array    # i32[B]
-    payload: jax.Array        # flat: f32[B, n_pad, d] | pq: u8[B, n_pad, M]
+    payload: jax.Array        # flat: f32[B, n_pad, d] | pq/qinco: u8[B, n_pad, M]
     n_pad: int
+    norms: Optional[jax.Array] = None  # qinco: f32[B, n_pad] stored ‖x̂_lin‖²
 
 
 class IndexIVF:
-    """IVF index: flat or PQ payload, pluggable compressed ID containers."""
+    """IVF index: flat, PQ, or QINCo (neural additive) payload, pluggable
+    compressed ID containers.
+
+    The ``qinco`` storage mode is the TPU-native analogue of the reference's
+    large-scale IVF-RQ + torch-QINCo pair (search_ivf_qinco.py:185-315): the
+    payload codes are QINCo codes; the *scan* uses the model's linear base
+    codebooks as an additive quantizer (LUT gather-sum + stored per-entry
+    norm), and the *re-rank* decodes shortlist codes through the full neural
+    decoder. Code layout per entry: M uint8 code bytes + 4 bytes f32 norm."""
 
     def __init__(self, d: int, nlist: int, storage: str = "flat",
-                 pq_m: int = 0, nprobe: int = 1):
-        assert storage in ("flat", "pq")
+                 pq_m: int = 0, nprobe: int = 1, qinco=None):
+        assert storage in ("flat", "pq", "qinco")
         self.d = d
         self.nlist = nlist
         self.storage = storage
         self.nprobe = nprobe
         self.pq = ProductQuantizer(d, pq_m) if storage == "pq" else None
+        self.qinco = qinco  # QincoCodec (models/qinco.py) when storage="qinco"
         self.centroids: Optional[np.ndarray] = None
         self.invlists: Optional[InvertedLists] = None
         self.active: Optional[object] = None  # InvertedLists-like with codes
@@ -151,7 +184,11 @@ class IndexIVF:
 
     @property
     def code_size(self) -> int:
-        return self.d * 4 if self.storage == "flat" else self.pq.code_size
+        if self.storage == "flat":
+            return self.d * 4
+        if self.storage == "qinco":
+            return self.qinco.M + 4  # M code bytes + f32 ‖x̂_lin‖²
+        return self.pq.code_size
 
     @property
     def coarse_code_size(self) -> int:
@@ -162,10 +199,14 @@ class IndexIVF:
 
     # ------------------------------------------------------------------ build
 
-    def train(self, x: np.ndarray, niter: int = 20):
+    def train(self, x: np.ndarray, niter: int = 20, qinco_steps: int = 300):
         self.centroids = train_kmeans(x, self.nlist, niter=niter)
         if self.pq is not None:
             self.pq.train(x)
+        if self.storage == "qinco":
+            assert self.qinco is not None, "pass qinco=QincoCodec(...)"
+            if self.qinco.params is None:
+                self.qinco.train(x, steps=qinco_steps)
 
     def add(self, x: np.ndarray):
         assert self.centroids is not None, "train first"
@@ -175,6 +216,12 @@ class IndexIVF:
         a = np.asarray(assign(jnp.asarray(x), jnp.asarray(self.centroids)))
         if self.storage == "flat":
             codes = x.view(np.uint8).reshape(len(x), -1)
+        elif self.storage == "qinco":
+            qc = self.qinco.encode(x)                       # u8[n, M]
+            norms = self.qinco.lin_norms(qc)                # f32[n]
+            codes = np.concatenate(
+                [qc, norms[:, None].view(np.uint8).reshape(len(x), 4)], axis=1
+            )
         else:
             codes = self.pq.encode(x)
         il = InvertedLists(self.nlist, self.code_size)
@@ -205,12 +252,23 @@ class IndexIVF:
         )
         for si, bucket in enumerate(bucketize(lengths)):
             B, n_pad = len(bucket.list_ids), bucket.n_pad
+            norms = None
             if self.storage == "flat":
                 payload = np.zeros((B, n_pad, self.d), dtype=np.float32)
                 for lane, ln in enumerate(bucket.list_ids):
                     c = get_codes(int(ln))
                     payload[lane, : len(c) // self.code_size] = (
                         c.view(np.float32).reshape(-1, self.d)
+                    )
+            elif self.storage == "qinco":
+                M = self.qinco.M
+                payload = np.zeros((B, n_pad, M), dtype=np.uint8)
+                norms = np.full((B, n_pad), np.inf, dtype=np.float32)
+                for lane, ln in enumerate(bucket.list_ids):
+                    rows = get_codes(int(ln)).reshape(-1, self.code_size)
+                    payload[lane, : len(rows)] = rows[:, :M]
+                    norms[lane, : len(rows)] = (
+                        rows[:, M:].copy().view(np.float32).reshape(-1)
                     )
             else:
                 payload = np.zeros((B, n_pad, self.pq.M), dtype=np.uint8)
@@ -225,6 +283,7 @@ class IndexIVF:
                     lengths_dev=jnp.asarray(bucket.lengths),
                     payload=jnp.asarray(payload),
                     n_pad=n_pad,
+                    norms=None if norms is None else jnp.asarray(norms),
                 )
             )
             for lane, ln in enumerate(bucket.list_ids):
@@ -243,7 +302,11 @@ class IndexIVF:
         _, probes = _coarse_topk(xq_dev, jnp.asarray(self.centroids), nprobe)
         probes = np.asarray(probes)  # [nq, nprobe]
 
-        luts = self.pq.compute_luts(xq_dev) if self.storage == "pq" else None
+        luts = None
+        if self.storage == "pq":
+            luts = self.pq.compute_luts(xq_dev)
+        elif self.storage == "qinco":
+            luts = self.qinco.compute_luts(xq_dev)
 
         # group (query, probe) pairs by scan bucket
         cand_d = np.full((nq, nprobe, k), np.inf, dtype=np.float32)
@@ -270,6 +333,10 @@ class IndexIVF:
                 dists, offs = _scan_flat_bucket(
                     xq_dev, sb.payload, sb.lengths_dev, pairs, k
                 )
+            elif self.storage == "qinco":
+                dists, offs = _scan_aq_bucket(
+                    luts, sb.payload, sb.norms, sb.lengths_dev, pairs, k
+                )
             else:
                 dists, offs = _scan_pq_bucket(
                     luts, sb.payload, sb.lengths_dev, pairs, k
@@ -282,7 +349,7 @@ class IndexIVF:
                 valid = np.isfinite(dists[i])
                 cand_l[q, p] = np.where(valid, lo_build(ln, offs[i]), -1)
 
-        if self.storage == "flat":
+        if self.storage in ("flat", "qinco"):
             # add back the per-query ||x||^2 term for true L2 distances
             x2 = (xq * xq).sum(axis=1)[:, None, None]
             cand_d = np.where(np.isfinite(cand_d), cand_d + x2, cand_d)

@@ -147,17 +147,21 @@ def _ensure_connected(adjacency: np.ndarray, xb: np.ndarray, root: int) -> np.nd
     if len(unreached) == 0:
         return adjacency
     reached = np.flatnonzero(seen)
-    xb_dev = jnp.asarray(xb)
+    # host numpy on purpose: `reached` grows every iteration, so a jitted
+    # version would recompile per node (new shape each time)
     for u in unreached:
         # attach from the nearest reached node (append or replace last slot)
-        d2 = np.asarray(
-            jnp.sum((xb_dev[jnp.asarray(reached)] - xb_dev[u]) ** 2, axis=1)
-        )
+        d2 = ((xb[reached] - xb[u]) ** 2).sum(axis=1)
         parent = int(reached[np.argmin(d2)])
         row = adjacency[parent]
-        free = np.flatnonzero(row < 0)
-        slot = int(free[0]) if len(free) else R - 1
-        adjacency[parent, slot] = u
+        # the parent may itself be a previously-attached node whose original
+        # out-edges were never traversed — its row can already contain u, and
+        # a second write would duplicate a neighbor (which the ROC container
+        # rejects: the codec is lossless only for distinct symbols)
+        if u not in row:
+            free = np.flatnonzero(row < 0)
+            slot = int(free[0]) if len(free) else R - 1
+            adjacency[parent, slot] = u
         seen[u] = True
         reached = np.append(reached, u)
     return adjacency

@@ -24,6 +24,7 @@ the deferred-decoding search path calls (search.ivf).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -225,8 +226,15 @@ class RocInvertedLists(CompressedInvertedLists):
 
     supports_random_access = False
 
-    def __init__(self, il: InvertedLists):
+    def __init__(self, il: InvertedLists, use_native: Optional[bool] = None):
         super().__init__(il)
+        from .. import native
+
+        if use_native is None:
+            use_native = (
+                native.available()
+                and os.environ.get("VDBIDC_NATIVE_ENCODE", "1") == "1"
+            )
         self.codes_all = [np.empty(0, np.uint8)] * il.nlist
         self._buckets = bucketize(self._lengths)
         self._states: List[rd.RocStates] = []
@@ -248,26 +256,43 @@ class RocInvertedLists(CompressedInvertedLists):
                 self.id_symbol_precision[ln] = prec[lane]
             maxp = int(prec.max())
             cap = rd.stack_capacity(n_pad, maxp)
-            pool = rd.default_pool(n_pad)
-            states, order = rd.roc_encode_batch(
-                jnp.asarray(sorted_ids),
-                jnp.asarray(bucket.lengths),
-                jnp.asarray(prec),
-                pool,
-                rd.fresh_states(B, cap),
-                rd.n_slices_for(maxp),
-            )
-            if bool(np.asarray(states.err).any()):
-                raise RuntimeError("MT19937 pool exhausted during ROC encode")
-            order_np = np.asarray(order)
+            if use_native:
+                # native C++ batch encoder (threaded, bit-exact with the
+                # device encoder — tests/test_native.py); returns the
+                # sampling-order permutation directly in original index space
+                heads, stacks_np, lens, orders, mt = native.roc_encode_lists(
+                    [il.ids[ln] for ln in bucket.list_ids], prec, cap=cap)
+                states = rd.RocStates(
+                    head=jnp.asarray(heads),
+                    stack=jnp.asarray(stacks_np),
+                    stack_len=jnp.asarray(lens),
+                    mt_ctr=jnp.asarray(mt.astype(np.int32)),
+                    err=jnp.zeros(B, dtype=bool),
+                )
+                orig_orders = orders
+            else:
+                pool = rd.default_pool(n_pad)
+                states, order = rd.roc_encode_batch(
+                    jnp.asarray(sorted_ids),
+                    jnp.asarray(bucket.lengths),
+                    jnp.asarray(prec),
+                    pool,
+                    rd.fresh_states(B, cap),
+                    rd.n_slices_for(maxp),
+                )
+                if bool(np.asarray(states.err).any()):
+                    raise RuntimeError("MT19937 pool exhausted during ROC encode")
+                order_np = np.asarray(order)
+                # device order is in sorted space: original index =
+                # perms[order[i]]
+                orig_orders = [
+                    perms[lane][order_np[lane, : int(bucket.lengths[lane])]]
+                    for lane in range(B)
+                ]
             for lane, ln in enumerate(bucket.list_ids):
-                ls = int(bucket.lengths[lane])
-                # payload codes reordered to sampling order:
-                # sampled element i is sorted index order[i] = original
-                # index perms[order[i]]
-                orig_idx = perms[lane][order_np[lane, :ls]]
-                self.codes_all[ln] = (
-                    _reorder_codes(il.codes[ln], orig_idx, il.code_size)
+                # payload codes reordered to sampling order
+                self.codes_all[ln] = _reorder_codes(
+                    il.codes[ln], orig_orders[lane], il.code_size
                 )
                 self._list_to_bucket[int(ln)] = (bi, lane)
             self._states.append(states)
