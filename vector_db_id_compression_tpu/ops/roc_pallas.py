@@ -112,7 +112,10 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
             # ---- insert + rank (count strictly smaller already inserted) --
             smaller = (rows_sym < i) & _ult(syms_s[:], symbol)
             rank = jnp.sum(smaller, axis=0, keepdims=True, dtype=jnp.int32)
-            syms_s[:] = jnp.where(rows_sym == i, symbol, syms_s[:])
+            # dynamic single-row store (scalar sublane index) instead of a
+            # full-buffer masked rewrite — the kernel is VMEM-bandwidth bound
+            # and this saves two whole [n_max, B] passes per step
+            syms_s[pl.ds(i, 1), :] = symbol
 
             # ---- push_with_finer_precision(rank, i+1) (codec.cpp:44-63) --
             nm = i + 1  # scalar modulus
@@ -141,8 +144,8 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
             hi = jnp.where(active, jnp.where(refill2, lo_r, new_hi), hi)
             lo = jnp.where(active, jnp.where(refill2, w2, lo_r), lo)
 
-            emit_out[:] = jnp.where(
-                (rows_sym == i) & active, symbol, emit_out[:]
+            emit_out[pl.ds(i, 1), :] = jnp.where(
+                active, symbol, jnp.zeros_like(symbol)
             )
             return hi, lo, ptr, err
 
