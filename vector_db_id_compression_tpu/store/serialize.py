@@ -27,6 +27,7 @@ from ..codecs.elias_fano import EliasFanoBatch
 from ..codecs.packed_bits import PackedBitsBatch
 from ..codecs.wavelet_tree import WaveletTree
 from ..core.bits import build_bitvector_batch
+from .graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
 from .invlists import (
     CompressedInvertedLists,
     EliasFanoInvertedLists,
@@ -194,3 +195,92 @@ def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
         c.wt = WaveletTree(words, jnp.asarray(pops), n, levels)
         c.wt_type = wt_type
     return c
+
+
+# ---------------------------------------------------------------------------
+# Graph containers (reference builds these transiently too — same gap fixed)
+# ---------------------------------------------------------------------------
+
+_GRAPH_KIND = {
+    Graph: "raw",
+    CompactBitGraph: "compact",
+    EliasFanoGraph: "elias_fano",
+    RocGraph: "roc",
+}
+_GRAPH_BY_KIND = {v: k for k, v in _GRAPH_KIND.items()}
+
+
+def save_graph(path: Union[str, Path], g) -> None:
+    """Durable artifact for an adjacency container (any of Graph /
+    CompactBitGraph / EliasFanoGraph / RocGraph)."""
+    kind = _GRAPH_KIND[type(g)]
+    arrs = {
+        "degrees": np.asarray(g.degrees),
+        "shape": np.array([g.N, g.K], dtype=np.int64),
+        "sizes": np.array(
+            [getattr(g, "compressed_ids_size_in_bytes", 0),
+             getattr(g, "overhead_in_bytes", 0)], dtype=np.int64,
+        ),
+    }
+    meta = dict(magic=MAGIC, kind=kind)
+    if kind == "raw":
+        arrs["adjacency"] = g.adjacency
+    elif kind == "compact":
+        arrs["bits"] = np.array([g.bits, g.stride], dtype=np.int64)
+        arrs["words"] = np.asarray(g._words)
+    elif kind == "elias_fano":
+        arrs["high_words"] = np.asarray(g._ef.high.words)
+        arrs["high_nbits"] = np.asarray(g._ef.high.nbits)
+        arrs["low_words"] = np.asarray(g._ef.low_words)
+        arrs["l"] = np.asarray(g._ef.l)
+        arrs["m"] = np.asarray(g._ef.m)
+    elif kind == "roc":
+        st = g._states
+        arrs["head"] = np.asarray(st.head)
+        arrs["stack"] = np.asarray(st.stack)
+        arrs["stack_len"] = np.asarray(st.stack_len)
+        arrs["mt_ctr"] = np.asarray(st.mt_ctr)
+        arrs["prec"] = np.asarray(g._prec_dev)
+        arrs["id_symbol_precision"] = np.asarray(g.id_symbol_precision)
+    np.savez(path, **arrs, **{f"meta_{k}": np.array(str(v)) for k, v in meta.items()})
+
+
+def load_graph(path: Union[str, Path]):
+    z = np.load(path, allow_pickle=False)
+    assert str(z["meta_magic"]) == MAGIC, "bad artifact magic"
+    kind = str(z["meta_kind"])
+    cls = _GRAPH_BY_KIND[kind]
+    if kind == "raw":
+        return Graph(z["adjacency"])
+    g = cls.__new__(cls)
+    g.N, g.K = (int(v) for v in z["shape"])
+    g.degrees = z["degrees"]
+    g.compressed_ids_size_in_bytes = int(z["sizes"][0])
+    g.overhead_in_bytes = int(z["sizes"][1])
+    if kind == "compact":
+        g.bits, g.stride = (int(v) for v in z["bits"])
+        g._words = jnp.asarray(z["words"])
+    elif kind == "elias_fano":
+        from ..codecs.elias_fano import EliasFanoBatch
+
+        g._ef = EliasFanoBatch(
+            high=build_bitvector_batch(
+                jnp.asarray(z["high_words"]), jnp.asarray(z["high_nbits"])
+            ),
+            low_words=jnp.asarray(z["low_words"]),
+            l=jnp.asarray(z["l"]),
+            m=jnp.asarray(z["m"]),
+        )
+    elif kind == "roc":
+        g._states = rd.RocStates(
+            head=jnp.asarray(z["head"]),
+            stack=jnp.asarray(z["stack"]),
+            stack_len=jnp.asarray(z["stack_len"]),
+            mt_ctr=jnp.asarray(z["mt_ctr"]),
+            err=jnp.zeros(g.N, dtype=bool),
+        )
+        g._prec_dev = jnp.asarray(z["prec"])
+        g.id_symbol_precision = z["id_symbol_precision"]
+        g.num_outgoing_edges = g.degrees
+        g._n_slices = rd.n_slices_for(int(z["prec"].max(initial=1)))
+    return g
