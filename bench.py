@@ -120,27 +120,55 @@ def main():
 
     # decode via the Pallas kernel (device-resident prepared decoder);
     # falls back to the XLA scan path if unsupported
-    from vector_db_id_compression_tpu.ops.roc_pallas import RocPallasDecoder
+    from vector_db_id_compression_tpu.ops import roc_pallas as rp
 
-    decoder = RocPallasDecoder(states, lengths_l, prec, pool, n_max)
+    decoder = rp.RocPallasDecoder(states, lengths_l, prec, pool, n_max)
     ids, ok = decoder.decode()  # warm up (compile)
-    jax.block_until_ready(ids)
-    if not ok:
-        log("pallas decoder flagged fallback; timing XLA scan path")
-        decode = lambda: rd.roc_decode_batch(
-            states, lengths, precision, pool, n_max, n_slices)[0]
-    else:
-        decode = lambda: decoder.decode()[0]
+    ids_np_once = np.asarray(ids)
+    assert ok, "pallas decoder flagged fallback"
 
+    # one-shot latency: includes the host<->device round trip (np.asarray is
+    # the only reliable sync on the axon tunnel — block_until_ready is async)
     times = []
     for _ in range(3):
         t0 = time.time()
-        ids = decode()
-        jax.block_until_ready(ids)
+        ids_np = np.asarray(decoder.decode()[0])
         times.append(time.time() - t0)
-    dec_s = min(times)
+    one_shot_s = min(times)
+    log(f"TPU decode one-shot (incl. tunnel round-trip + id transfer): "
+        f"{one_shot_s*1e3:.1f} ms → {NTOTAL/one_shot_s/1e6:.2f} Mids/s")
+
+    # sustained throughput: K barriered decodes in ONE dispatch — the
+    # marginal per-decode time is the on-chip cost a pipelined production
+    # consumer sees (dispatch latency amortizes; optimization_barrier
+    # prevents XLA from CSE-ing the identical calls)
+    def repeated(K):
+        @jax.jit
+        def f():
+            acc = jnp.uint32(0)
+            buf = decoder._buf
+            for _ in range(K):
+                buf = jax.lax.optimization_barrier(buf)
+                out, _err = rp._run_decode(
+                    buf, decoder._hi, decoder._lo, decoder._ptr0,
+                    decoder._lens, decoder._prec_row, decoder._n_max_pad,
+                    decoder._capp, False, decoder._pool_ok)
+                acc = acc + out[0, 0] + out[-1, -1]
+            return acc
+        np.asarray(f())  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(f())
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t1, t8 = repeated(1), repeated(8)
+    dec_s = max((t8 - t1) / 7, 1e-9)
     tpu_rate = NTOTAL / dec_s
-    log(f"TPU decode: {dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} Mids/s")
+    log(f"TPU decode sustained (marginal, 8 pipelined calls): "
+        f"{dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} Mids/s")
+    ids = jnp.asarray(ids_np_once)
 
     # correctness spot check
     decoded = np.asarray(ids)

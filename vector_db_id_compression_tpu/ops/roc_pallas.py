@@ -112,9 +112,6 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
             # ---- insert + rank (count strictly smaller already inserted) --
             smaller = (rows_sym < i) & _ult(syms_s[:], symbol)
             rank = jnp.sum(smaller, axis=0, keepdims=True, dtype=jnp.int32)
-            # dynamic single-row store (scalar sublane index) instead of a
-            # full-buffer masked rewrite — the kernel is VMEM-bandwidth bound
-            # and this saves two whole [n_max, B] passes per step
             syms_s[pl.ds(i, 1), :] = symbol
 
             # ---- push_with_finer_precision(rank, i+1) (codec.cpp:44-63) --
@@ -144,8 +141,11 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
             hi = jnp.where(active, jnp.where(refill2, lo_r, new_hi), hi)
             lo = jnp.where(active, jnp.where(refill2, w2, lo_r), lo)
 
-            emit_out[pl.ds(i, 1), :] = jnp.where(
-                active, symbol, jnp.zeros_like(symbol)
+            # emit straight at the final decode position n-1-i (per-lane row,
+            # so a masked full-buffer write — on-chip VMEM passes are cheap;
+            # this removes the expensive post-kernel un-reversal gather)
+            emit_out[:] = jnp.where(
+                (rows_sym == (lengths - 1 - i)) & active, symbol, emit_out[:]
             )
             return hi, lo, ptr, err
 
@@ -173,16 +173,17 @@ def _pad_to(x: np.ndarray, axis: int, size: int, fill=0):
     return np.pad(x, pad, constant_values=fill)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 9))
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 10))
 def _decode_call(buf, hi, lo, ptr, n_max, capp, n_slices,
-                 lengths, precision, interpret=False):
+                 lengths, precision, interpret=False,
+                 lane_block=LANE_BLOCK):
     B = buf.shape[1]
-    grid = B // LANE_BLOCK
+    grid = B // lane_block
     kernel = _decode_kernel(n_max, capp, n_slices)
     # note: the row index must match the loop-index dtype (i32) — a python 0
     # literal becomes i64 under x64 mode and Mosaic rejects the mixed return
     specs_col = lambda shape0: pl.BlockSpec(
-        (shape0, LANE_BLOCK), lambda g: (g - g, g), memory_space=pltpu.VMEM
+        (shape0, lane_block), lambda g: (g - g, g), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
@@ -203,29 +204,32 @@ def _decode_call(buf, hi, lo, ptr, n_max, capp, n_slices,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((capp, LANE_BLOCK), jnp.int32),
-            pltpu.VMEM((n_max, LANE_BLOCK), jnp.int32),
+            pltpu.VMEM((capp, lane_block), jnp.int32),
+            pltpu.VMEM((n_max, lane_block), jnp.int32),
         ],
         interpret=interpret,
     )(buf, hi, lo, ptr, lengths, precision)
     return out
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
-def _prepare_and_decode(stack, stack_len, mt_ctr, head, lengths, precision,
-                        n_max, capp, interpret, pool):
-    """All-device: compose the unified pool+stack buffer, run the kernel,
-    un-reverse the emission order. Inputs are lane-major (B first); B must be
-    a multiple of LANE_BLOCK."""
+@partial(jax.jit, static_argnums=(6, 7))
+def _prepare_inputs(stack, stack_len, mt_ctr, head, lengths, precision,
+                    n_max, capp, pool):
+    """One-time (per decoder) composition of the kernel's device inputs:
+    unified pool+stack buffer transposed to [capp, B], split head, pointers.
+    Inputs are lane-major (B first); B must be a multiple of LANE_BLOCK."""
     B, cap = stack.shape
     # pool prefix, reversed, starting at each lane's mt_ctr
     draw_idx = mt_ctr[:, None] + (POOL_ROWS - 1 - jnp.arange(POOL_ROWS))[None, :]
     pool_ok = jnp.all(draw_idx < pool.shape[0])
     pool_part = pool[jnp.minimum(draw_idx, pool.shape[0] - 1)]  # [B, POOL_ROWS]
-    buf = jnp.concatenate(
-        [pool_part, stack,
-         jnp.zeros((B, capp - POOL_ROWS - cap), jnp.uint32)], axis=1
-    )
+    # capp is sized from max(stack_len), not encode capacity — decode only
+    # drains the stack (net), so rows beyond it are never touched and a
+    # smaller buffer shrinks the per-step spill read-modify-write
+    rows = capp - POOL_ROWS
+    stack_part = (stack[:, :rows] if rows <= cap else jnp.concatenate(
+        [stack, jnp.zeros((B, rows - cap), jnp.uint32)], axis=1))
+    buf = jnp.concatenate([pool_part, stack_part], axis=1)
     buf = jax.lax.bitcast_convert_type(buf, jnp.int32).T
     ptr0 = (POOL_ROWS + stack_len).astype(jnp.int32)[None, :]
     hi = jax.lax.bitcast_convert_type(
@@ -234,17 +238,37 @@ def _prepare_and_decode(stack, stack_len, mt_ctr, head, lengths, precision,
         (head & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)[None, :]
     lens = lengths.astype(jnp.int32)[None, :]
     prec = precision.astype(jnp.int32)[None, :]
+    return buf, hi, lo, ptr0, lens, prec, pool_ok
 
-    emit, hi_f, lo_f, ptr_f, err = _decode_call(
-        buf, hi, lo, ptr0, n_max, capp, 2, lens, prec, interpret
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _run_decode(buf, hi, lo, ptr0, lens, prec, n_max, capp, interpret,
+                pool_ok):
+    """Slim per-call path: kernel + validity mask. Returns ids as u32 — the
+    kernel supports precision <= 32, so ids always fit (halves the
+    device-to-host bytes on the axon tunnel)."""
+    B = buf.shape[1]
+    # widest lane block that divides B: fewer, wider grid blocks
+    lane_block = next(
+        lb for lb in (1024, 512, 256) if B % lb == 0 or lb == LANE_BLOCK
     )
-    emit_u = jax.lax.bitcast_convert_type(emit.T, jnp.uint32).astype(jnp.uint64)
+    emit, hi_f, lo_f, ptr_f, err = _decode_call(
+        buf, hi, lo, ptr0, n_max, capp, 2, lens, prec, interpret, lane_block
+    )
+    emit_u = jax.lax.bitcast_convert_type(emit.T, jnp.uint32)
     j = jnp.arange(n_max, dtype=jnp.int32)[None, :]
-    src = jnp.clip(lengths[:, None] - 1 - j, 0, n_max - 1)
-    ids = jnp.take_along_axis(emit_u, src, axis=1)
-    ids = jnp.where(j < lengths[:, None], ids, 0)
+    ids = jnp.where(j < lens.reshape(-1)[:, None], emit_u, jnp.uint32(0))
     err_any = jnp.any(err != 0) | ~pool_ok
     return ids, err_any
+
+
+def _prepare_and_decode(stack, stack_len, mt_ctr, head, lengths, precision,
+                        n_max, capp, interpret, pool):
+    """Compatibility one-shot wrapper (prep + decode in one call)."""
+    buf, hi, lo, ptr0, lens, prec, ok = _prepare_inputs(
+        stack, stack_len, mt_ctr, head, lengths, precision, n_max, capp, pool)
+    return _run_decode(buf, hi, lo, ptr0, lens, prec, n_max, capp, interpret,
+                       ok)
 
 
 class RocPallasDecoder:
@@ -275,16 +299,28 @@ class RocPallasDecoder:
         self._prec = jnp.asarray(np.pad(precision, (0, pad)))
         self._pool = jnp.asarray(pool, dtype=jnp.uint32)
         self.n_max = n_max
-        cap = states.stack.shape[1]
-        self._capp = -(-(POOL_ROWS + cap + 8) // 8) * 8
+        # decode never grows the stack past its initial height (+1 transient
+        # word per step before the matching refill) — size the kernel buffer
+        # from the actual max stack height, not the encode-side capacity
+        max_len = int(np.max(np.asarray(states.stack_len), initial=0))
+        self._capp = -(-(POOL_ROWS + max_len + 8) // 8) * 8
         self._n_max_pad = -(-n_max // 8) * 8
+        # compose the kernel inputs ONCE — decode() is then just the kernel,
+        # with no per-call prep on the device
+        (self._buf, self._hi, self._lo, self._ptr0, self._lens,
+         self._prec_row, self._pool_ok) = _prepare_inputs(
+            self._stack, self._stack_len, self._mt_ctr, self._head,
+            self._lengths, self._prec, self._n_max_pad, self._capp,
+            self._pool,
+        )
 
     def decode(self, interpret: bool = False):
-        """→ (ids u64[B0, n_max] device array, ok bool)."""
-        ids, err = _prepare_and_decode(
-            self._stack, self._stack_len, self._mt_ctr, self._head,
-            self._lengths, self._prec,
-            self._n_max_pad, self._capp, interpret, self._pool,
+        """→ (ids u32[B0, n_max] device array, ok bool). IDs fit in u32 by
+        the kernel's precision<=32 contract; callers widen as needed."""
+        ids, err = _run_decode(
+            self._buf, self._hi, self._lo, self._ptr0, self._lens,
+            self._prec_row, self._n_max_pad, self._capp, interpret,
+            self._pool_ok,
         )
         return ids[: self.B0, : self.n_max], not bool(err)
 
@@ -295,10 +331,10 @@ class RocPallasDecoder:
         idx = jnp.asarray(
             np.pad(np.asarray(lane_idx, np.int64), (0, Q - q0)), jnp.int32
         )
-        ids, err = _prepare_and_decode(
-            self._stack[idx], self._stack_len[idx], self._mt_ctr[idx],
-            self._head[idx], self._lengths[idx], self._prec[idx],
-            self._n_max_pad, self._capp, interpret, self._pool,
+        ids, err = _run_decode(
+            self._buf[:, idx], self._hi[:, idx], self._lo[:, idx],
+            self._ptr0[:, idx], self._lens[:, idx], self._prec_row[:, idx],
+            self._n_max_pad, self._capp, interpret, self._pool_ok,
         )
         return ids[:q0, : self.n_max], not bool(err)
 
