@@ -170,6 +170,43 @@ def main():
         f"{dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} Mids/s")
     ids = jnp.asarray(ids_np_once)
 
+    # on-device encode throughput (informational): the Pallas encoder is
+    # bit-exact with the native/host encoders (tests/test_roc_encode_pallas)
+    try:
+        from vector_db_id_compression_tpu.ops import roc_encode_pallas as rep
+
+        enc = rep.RocPallasEncoder(n_max, int(prec.max()))
+        ids_j = jnp.asarray(sorted_ids)
+        len_j, prec_j = jnp.asarray(lengths_l), jnp.asarray(prec)
+        enc_pool = jnp.asarray(rd.default_pool(rep.POOL_ROWS), jnp.uint32)
+
+        def enc_repeated(K):
+            @jax.jit
+            def f():
+                acc = jnp.uint64(0)
+                x = ids_j
+                for _ in range(K):
+                    x = jax.lax.optimization_barrier(x)
+                    head, stack, slen, mtc, err, order = rep._encode_full(
+                        x, len_j, prec_j, enc.n_max, enc.capp, False,
+                        enc_pool)
+                    acc = acc + head[0] + head[-1]
+                return acc
+            np.asarray(f())
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(f())
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        e1, e4 = enc_repeated(1), enc_repeated(4)
+        enc_s = max((e4 - e1) / 3, 1e-9)
+        log(f"TPU encode sustained: {enc_s*1e3:.1f} ms → "
+            f"{NTOTAL/enc_s/1e6:.2f} Mids/s")
+    except Exception as e:  # encode bench is informational only
+        log(f"pallas encode bench skipped: {e}")
+
     # correctness spot check
     decoded = np.asarray(ids)
     for ln in (0, NLIST // 2, NLIST - 1):
