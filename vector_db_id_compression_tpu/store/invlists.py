@@ -256,7 +256,30 @@ class RocInvertedLists(CompressedInvertedLists):
                 self.id_symbol_precision[ln] = prec[lane]
             maxp = int(prec.max())
             cap = rd.stack_capacity(n_pad, maxp)
-            if use_native:
+            # the on-chip Pallas encoder is bit-exact with the native/host
+            # encoders but pays a per-bucket-shape Mosaic compile; it wins
+            # for repeated builds (warm cache) or when no C++ toolchain is
+            # present — opt in via VDBIDC_DEVICE_ENCODE=1
+            use_pallas_enc = False
+            if (jax.default_backend() == "tpu"
+                    and (os.environ.get("VDBIDC_DEVICE_ENCODE") == "1"
+                         or not use_native)):
+                from ..ops.roc_encode_pallas import RocPallasEncoder
+
+                use_pallas_enc = RocPallasEncoder.supports(maxp, n_pad)
+            if use_pallas_enc:
+                from ..ops.roc_encode_pallas import roc_encode_pallas
+
+                states, order, ok = roc_encode_pallas(
+                    sorted_ids, bucket.lengths, prec)
+                if not ok:
+                    raise RuntimeError("pallas ROC encode overflow")
+                order_np = np.asarray(order)
+                orig_orders = [
+                    perms[lane][order_np[lane, : int(bucket.lengths[lane])]]
+                    for lane in range(B)
+                ]
+            elif use_native:
                 # native C++ batch encoder (threaded, bit-exact with the
                 # device encoder — tests/test_native.py); returns the
                 # sampling-order permutation directly in original index space
