@@ -144,12 +144,19 @@ def run_search(ds, args, workdir: Path):
                 index.search_positional(xq, nshort, args.nprobe)[1], True)
         t_search = time.time() - t0
 
-        # neural re-rank: decode shortlist codes, exact L2 (reference :263-296)
+        # neural re-rank: unpack listno from the coarse prefix bytes
+        # (reference :263-281), decode the residual, add the centroid back,
+        # exact L2 (reference :282-296)
         t0 = time.time()
         pfx = index.coarse_code_size
         flat_codes = codes.reshape(-1, codes.shape[-1])
+        listnos = np.zeros(len(flat_codes), dtype=np.int64)
+        for b in range(pfx):
+            listnos |= flat_codes[:, b].astype(np.int64) << (8 * b)
+        listnos = np.clip(listnos, 0, index.nlist - 1)  # 0xff fill on empties
         qinco_codes = flat_codes[:, pfx:pfx + M].astype(np.int32)
-        dec = index.qinco.decode(qinco_codes).reshape(len(xq), nshort, -1)
+        dec = index.qinco.decode(qinco_codes) + index.centroids[listnos]
+        dec = dec.reshape(len(xq), nshort, -1)
         diff = dec - xq[:, None, :]
         d2 = (diff * diff).sum(axis=2)
         d2 = np.where(I >= 0, d2, np.inf)

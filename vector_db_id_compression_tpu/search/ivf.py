@@ -86,18 +86,26 @@ def _scan_flat_bucket(xq, vecs, lengths, pairs, k):
     return -neg, offs
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _scan_aq_bucket(luts, codes, norms, lengths, pairs, k):
-    """Additive-quantizer scan (the qinco storage mode): luts f32[nq, M, ksub]
-    holds −2⟨x, C_m[j]⟩ over the model's linear codebooks; norms f32[B, n_pad]
-    holds the stored ‖x̂_lin‖² per entry. d2 = ‖x̂‖² − 2⟨x, x̂⟩ (+‖x‖² at
-    merge, like the flat path)."""
-    q_idx, lane = pairs
-    lut_p = luts[q_idx]                            # [P, M, ksub]
+@partial(jax.jit, static_argnums=(6,))
+def _scan_aq_bucket(q_luts, cent_luts, codes, norms, lengths, pairs, k):
+    """Residual additive-quantizer scan (the qinco storage mode — the TPU
+    analogue of the reference's IVF-RQ scan, search_ivf_qinco.py:185-315).
+
+    Codes quantize the residual r = x_db − c_list. The scan distance
+    decomposes so all LUTs stay small and per-(query,probe) pairs just add:
+
+        ‖(x−c) − r̂‖² = ‖x−c‖²  (coarse distance, computed already)
+                      − 2⟨x−c, r̂⟩  (Σ_m q_lut[q] + cent_lut[list] gathers)
+                      + ‖r̂‖²     (stored per entry)
+
+    q_luts f32[nq, M, ksub] = −2⟨x, C_m[j]⟩; cent_luts f32[nlist, M, ksub] =
+    +2⟨c_l, C_m[j]⟩; base f32[P] = coarse ‖x−c‖² per pair."""
+    q_idx, lane, lns, base = pairs
+    lut_p = q_luts[q_idx] + cent_luts[lns]         # [P, M, ksub]
     idx = codes[lane].astype(jnp.int32)            # [P, n_pad, M]
     idx_t = jnp.swapaxes(idx, 1, 2)                # [P, M, n_pad]
     gathered = jnp.take_along_axis(lut_p, idx_t, axis=2)
-    d2 = jnp.sum(gathered, axis=1) + norms[lane]   # [P, n_pad]
+    d2 = jnp.sum(gathered, axis=1) + norms[lane] + base[:, None]
     n_pad = d2.shape[1]
     mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= lengths[lane][:, None]
     d2 = jnp.where(mask, jnp.inf, d2)
@@ -175,6 +183,7 @@ class IndexIVF:
         self.nprobe = nprobe
         self.pq = ProductQuantizer(d, pq_m) if storage == "pq" else None
         self.qinco = qinco  # QincoCodec (models/qinco.py) when storage="qinco"
+        self._cent_luts = None  # f32[nlist, M, ksub] +2<c_l, C_m[j]>, lazy
         self.centroids: Optional[np.ndarray] = None
         self.invlists: Optional[InvertedLists] = None
         self.active: Optional[object] = None  # InvertedLists-like with codes
@@ -206,7 +215,15 @@ class IndexIVF:
         if self.storage == "qinco":
             assert self.qinco is not None, "pass qinco=QincoCodec(...)"
             if self.qinco.params is None:
-                self.qinco.train(x, steps=qinco_steps)
+                # train on coarse residuals — the reference trains its RQ /
+                # QINCo on x - centroid too (search_ivf_qinco.py:38-118)
+                from .kmeans import assign
+
+                a = np.asarray(assign(jnp.asarray(np.asarray(x, np.float32)),
+                                      jnp.asarray(self.centroids)))
+                resid = np.asarray(x, np.float32) - self.centroids[a]
+                self.qinco.train(resid, steps=qinco_steps)
+            self._cent_luts = None  # invalidated; rebuilt lazily
 
     def add(self, x: np.ndarray):
         assert self.centroids is not None, "train first"
@@ -217,8 +234,9 @@ class IndexIVF:
         if self.storage == "flat":
             codes = x.view(np.uint8).reshape(len(x), -1)
         elif self.storage == "qinco":
-            qc = self.qinco.encode(x)                       # u8[n, M]
-            norms = self.qinco.lin_norms(qc)                # f32[n]
+            resid = x - self.centroids[a]
+            qc = self.qinco.encode(resid)                   # u8[n, M]
+            norms = self.qinco.lin_norms(qc)                # f32[n] ‖r̂_lin‖²
             codes = np.concatenate(
                 [qc, norms[:, None].view(np.uint8).reshape(len(x), 4)], axis=1
             )
@@ -299,14 +317,21 @@ class IndexIVF:
         xq = np.asarray(xq, dtype=np.float32)
         nq = len(xq)
         xq_dev = jnp.asarray(xq)
-        _, probes = _coarse_topk(xq_dev, jnp.asarray(self.centroids), nprobe)
+        coarse_d, probes = _coarse_topk(xq_dev, jnp.asarray(self.centroids),
+                                        nprobe)
         probes = np.asarray(probes)  # [nq, nprobe]
+        coarse_d = np.asarray(coarse_d)  # ||x - c||^2 incl. ||x||^2
 
         luts = None
         if self.storage == "pq":
             luts = self.pq.compute_luts(xq_dev)
         elif self.storage == "qinco":
             luts = self.qinco.compute_luts(xq_dev)
+            if self._cent_luts is None:
+                cb = jnp.asarray(self.qinco.lin_codebooks)  # [M, ksub, d]
+                self._cent_luts = 2.0 * jnp.einsum(
+                    "ld,mkd->lmk", jnp.asarray(self.centroids), cb,
+                    preferred_element_type=jnp.float32)
 
         # group (query, probe) pairs by scan bucket
         cand_d = np.full((nq, nprobe, k), np.inf, dtype=np.float32)
@@ -326,8 +351,12 @@ class IndexIVF:
             P_pad = _pad_pow2(P)
             q_idx = np.zeros(P_pad, dtype=np.int32)
             lanes = np.zeros(P_pad, dtype=np.int32)
+            lns_arr = np.zeros(P_pad, dtype=np.int32)
+            base = np.zeros(P_pad, dtype=np.float32)
             for i, (q, p, lane) in enumerate(triples):
                 q_idx[i], lanes[i] = q, lane
+                lns_arr[i] = probes[q, p]
+                base[i] = coarse_d[q, p]
             pairs = (jnp.asarray(q_idx), jnp.asarray(lanes))
             if self.storage == "flat":
                 dists, offs = _scan_flat_bucket(
@@ -335,7 +364,9 @@ class IndexIVF:
                 )
             elif self.storage == "qinco":
                 dists, offs = _scan_aq_bucket(
-                    luts, sb.payload, sb.norms, sb.lengths_dev, pairs, k
+                    luts, self._cent_luts, sb.payload, sb.norms,
+                    sb.lengths_dev,
+                    pairs + (jnp.asarray(lns_arr), jnp.asarray(base)), k
                 )
             else:
                 dists, offs = _scan_pq_bucket(
@@ -349,8 +380,9 @@ class IndexIVF:
                 valid = np.isfinite(dists[i])
                 cand_l[q, p] = np.where(valid, lo_build(ln, offs[i]), -1)
 
-        if self.storage in ("flat", "qinco"):
+        if self.storage == "flat":
             # add back the per-query ||x||^2 term for true L2 distances
+            # (qinco's residual scan already includes it via the coarse term)
             x2 = (xq * xq).sum(axis=1)[:, None, None]
             cand_d = np.where(np.isfinite(cand_d), cand_d + x2, cand_d)
 
