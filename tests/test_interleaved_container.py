@@ -1,0 +1,76 @@
+"""InterleavedRocInvertedLists: multiset round-trip, code co-reordering,
+rate accounting, and search equality vs the single-stream ROC container."""
+
+import numpy as np
+import pytest
+
+from vector_db_id_compression_tpu.search.ivf import IndexIVF
+from vector_db_id_compression_tpu.store.invlists import (
+    InterleavedRocInvertedLists,
+    InvertedLists,
+    RocInvertedLists,
+)
+
+
+def make_il(nlist=6, ntotal=3000, code_size=4, seed=0):
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, nlist, ntotal)
+    codes = rng.integers(0, 256, (ntotal, code_size), dtype=np.uint8)
+    il = InvertedLists(nlist, code_size)
+    for ln in range(nlist):
+        members = np.flatnonzero(assign == ln).astype(np.uint64)
+        il.add_entries(ln, members, codes[members].reshape(-1))
+    return il, codes
+
+
+def test_round_trip_and_codes():
+    il, codes = make_il()
+    c = InterleavedRocInvertedLists(il, interleave=4, interleave_min=64)
+    ids, lens = c.decode_lists(np.arange(il.nlist))
+    for ln in range(il.nlist):
+        got = ids[ln, : lens[ln]]
+        np.testing.assert_array_equal(np.sort(got), np.sort(il.ids[ln]))
+        # codes must be co-reordered to decode order
+        dec_codes = c.get_codes(ln).reshape(-1, il.code_size)
+        np.testing.assert_array_equal(dec_codes,
+                                      codes[got.astype(np.int64)])
+
+
+def test_rate_close_to_single_stream():
+    il, _ = make_il(nlist=2, ntotal=8000)
+    single = RocInvertedLists(il)
+    multi = InterleavedRocInvertedLists(il, interleave=8, interleave_min=64)
+    s = single.compressed_ids_size_in_bytes
+    m = multi.compressed_ids_size_in_bytes + multi.overhead_in_bytes
+    assert m <= s * 1.15 + 2 * 8 * 24, (m, s)
+
+
+def test_short_lists_stay_single_stream():
+    il, _ = make_il(nlist=8, ntotal=400)  # ~50/list < interleave_min
+    c = InterleavedRocInvertedLists(il, interleave=4, interleave_min=4096)
+    for ln in range(il.nlist):
+        assert len(c._entries_of[ln]) <= 1 or il.lengths[ln] >= 4096
+    ref = RocInvertedLists(il)
+    # single-stream entries are bit-identical to the plain container
+    assert c.compressed_ids_size_in_bytes == ref.compressed_ids_size_in_bytes
+
+
+def test_search_equality_vs_plain_roc():
+    rng = np.random.default_rng(5)
+    xb = rng.normal(size=(3000, 8)).astype(np.float32)
+    xq = rng.normal(size=(20, 8)).astype(np.float32)
+    index = IndexIVF(8, 4, storage="flat")
+    index.train(xb[:1000], niter=5)
+    index.add(xb)
+    index.replace_invlists(RocInvertedLists(index.invlists))
+    D1, I1 = index.search_defer_id_decoding(xq, 10, nprobe=2,
+                                            decode_1by1=False)
+    index.replace_invlists(
+        InterleavedRocInvertedLists(index.invlists, interleave=4,
+                                    interleave_min=64))
+    D2, I2 = index.search_defer_id_decoding(xq, 10, nprobe=2,
+                                            decode_1by1=False)
+    # same distances always; ids may swap only between equal distances
+    np.testing.assert_allclose(D1, D2, rtol=1e-5)
+    swap_ok = (I1 == I2) | np.isclose(D1, D2, rtol=1e-5)
+    assert swap_ok.all()

@@ -517,3 +517,164 @@ def _rrr_size_bits(words: np.ndarray, nbits: int, levels: int) -> int:
         ks = padded.reshape(nblocks, 63).sum(axis=1)
         total += 6 * nblocks + int(offs_bits[ks].sum())
     return total
+
+
+# ---------------------------------------------------------------------------
+# Interleaved ROC (framework extension — SURVEY.md §5 "long-context" answer)
+# ---------------------------------------------------------------------------
+
+
+class InterleavedRocInvertedLists(CompressedInvertedLists):
+    """ROC container with S-lane interleaving for long lists.
+
+    Lists with >= ``interleave_min`` elements are split into ``interleave``
+    contiguous sorted-value chunks, each rebased to its minimum and coded as
+    an independent ROC stream (codecs/roc_interleaved.py rationale: the
+    per-chunk precision drop cancels the multiset-splitting loss to first
+    order, and the S chains decode in lockstep — ~S x the per-list decode
+    latency of the strictly sequential reference format). Short lists keep
+    the bit-exact single-stream format. Envelope per extra lane: 8B lo +
+    4B length + 1B precision, counted in ``overhead_in_bytes``.
+    """
+
+    supports_random_access = False
+
+    def __init__(self, il: InvertedLists, interleave: int = 4,
+                 interleave_min: int = 4096):
+        super().__init__(il)
+        from .. import native
+
+        assert interleave >= 1
+        use_native = (native.available()
+                      and os.environ.get("VDBIDC_NATIVE_ENCODE", "1") == "1")
+        self.interleave = interleave
+        self.codes_all = [np.empty(0, np.uint8)] * il.nlist
+        self.id_symbol_precision = np.zeros(il.nlist, dtype=np.int64)
+
+        # expand lists into chunk entries
+        entries = []  # (ln, chunk_idx, rebased u64[], lo, prec, orig_idx[])
+        self._entries_of: Dict[int, List[int]] = {}
+        for ln in range(il.nlist):
+            v = il.ids[ln]
+            if len(v) == 0:
+                self._entries_of[ln] = []
+                continue
+            perm = np.argsort(v, kind="stable")
+            sv = v[perm]
+            S = interleave if len(v) >= max(interleave_min, interleave) else 1
+            sizes = np.full(S, len(v) // S, dtype=np.int64)
+            sizes[: len(v) % S] += 1
+            bounds = np.zeros(S + 1, dtype=np.int64)
+            np.cumsum(sizes, out=bounds[1:])
+            self.id_symbol_precision[ln] = precision_for_max_id_safe(
+                int(sv[-1]))
+            keys = []
+            for s in range(S):
+                chunk = sv[bounds[s]:bounds[s + 1]]
+                lo = np.uint64(chunk[0]) if S > 1 else np.uint64(0)
+                rebased = chunk - lo
+                prec = (precision_for_max_id_safe(int(rebased[-1]))
+                        if len(rebased) > 1 or S == 1 else 1)
+                if S == 1:
+                    prec = precision_for_max_id_safe(int(sv[-1]))
+                keys.append(len(entries))
+                entries.append((ln, s, rebased, lo, prec,
+                                perm[bounds[s]:bounds[s + 1]]))
+            self._entries_of[ln] = keys
+
+        ent_lengths = np.array([len(e[2]) for e in entries], dtype=np.int64)
+        self._ent_lo = np.array([e[3] for e in entries], dtype=np.uint64)
+        self._ent_len = ent_lengths.astype(np.int32)
+        self._buckets = bucketize(ent_lengths)
+        self._states: List[rd.RocStates] = []
+        self._precisions: List[jax.Array] = []
+        self._ent_to_bucket: Dict[int, Tuple[int, int]] = {}
+
+        order_of: Dict[int, np.ndarray] = {}
+        for bi, bucket in enumerate(self._buckets):
+            B, n_pad = len(bucket.list_ids), bucket.n_pad
+            prec = np.array([entries[int(e)][4] for e in bucket.list_ids],
+                            np.int32)
+            cap = rd.stack_capacity(n_pad, int(prec.max()))
+            if use_native:
+                heads, stacks_np, lens, orders, mt = native.roc_encode_lists(
+                    [entries[int(e)][2] for e in bucket.list_ids], prec,
+                    cap=cap)
+                states = rd.RocStates(
+                    head=jnp.asarray(heads), stack=jnp.asarray(stacks_np),
+                    stack_len=jnp.asarray(lens),
+                    mt_ctr=jnp.asarray(mt.astype(np.int32)),
+                    err=jnp.zeros(B, dtype=bool))
+                chunk_orders = orders
+            else:
+                sorted_ids = np.zeros((B, n_pad), dtype=np.uint64)
+                for lane, e in enumerate(bucket.list_ids):
+                    r = entries[int(e)][2]
+                    sorted_ids[lane, : len(r)] = r
+                states, order = rd.roc_encode_batch(
+                    jnp.asarray(sorted_ids), jnp.asarray(bucket.lengths),
+                    jnp.asarray(prec), rd.default_pool(n_pad),
+                    rd.fresh_states(B, cap), rd.n_slices_for(int(prec.max())))
+                if bool(np.asarray(states.err).any()):
+                    raise RuntimeError("ROC encode overflow")
+                order_np = np.asarray(order)
+                chunk_orders = [order_np[lane, : int(bucket.lengths[lane])]
+                                for lane in range(B)]
+            for lane, e in enumerate(bucket.list_ids):
+                ln, s, rebased, lo, p, orig_base = entries[int(e)]
+                order_of[int(e)] = orig_base[chunk_orders[lane]]
+                self._ent_to_bucket[int(e)] = (bi, lane)
+            self._states.append(states)
+            self._precisions.append(jnp.asarray(prec))
+            self.compressed_ids_size_in_bytes += int(
+                np.asarray(states.size_bytes)[np.asarray(bucket.lengths) > 0]
+                .sum())
+
+        # per-list code reorder: concat of chunk sampling orders
+        for ln in range(il.nlist):
+            keys = self._entries_of[ln]
+            if not keys:
+                continue
+            global_order = np.concatenate([order_of[e] for e in keys])
+            self.codes_all[ln] = _reorder_codes(il.codes[ln], global_order,
+                                                il.code_size)
+            # envelope overhead for S>1 lists: lo + length + precision / lane
+            if len(keys) > 1:
+                self.overhead_in_bytes += len(keys) * (8 + 4 + 1)
+
+    def decode_lists(self, list_nos):
+        list_nos = np.asarray(list_nos, dtype=np.int64)
+        lens = self._lengths[list_nos].astype(np.int32)
+        max_len = max(int(lens.max()) if len(lens) else 0, 1)
+        out = np.zeros((len(list_nos), max_len), dtype=np.uint64)
+
+        # group all needed chunk entries by bucket
+        by_bucket: Dict[int, List[int]] = {}
+        for ln in list_nos:
+            for e in self._entries_of[int(ln)]:
+                bi, _ = self._ent_to_bucket[e]
+                by_bucket.setdefault(bi, []).append(e)
+        decoded: Dict[int, np.ndarray] = {}
+        for bi, ents in by_bucket.items():
+            bucket = self._buckets[bi]
+            lanes = np.array([self._ent_to_bucket[e][1] for e in ents],
+                             dtype=np.int64)
+            states = _gather_lanes(self._states[bi], lanes)
+            lengths = jnp.asarray(bucket.lengths[lanes])
+            prec = self._precisions[bi][jnp.asarray(lanes)]
+            n_pad = bucket.n_pad
+            ids, _ = rd.roc_decode_batch(
+                states, lengths, prec, rd.default_pool(n_pad), n_pad,
+                rd.n_slices_for(int(np.asarray(prec).max())))
+            ids_np = np.asarray(ids)
+            for row, e in enumerate(ents):
+                n = int(self._ent_len[e])
+                decoded[e] = ids_np[row, :n].astype(np.uint64) + self._ent_lo[e]
+
+        for q, ln in enumerate(list_nos):
+            keys = self._entries_of[int(ln)]
+            if not keys:
+                continue
+            vals = np.concatenate([decoded[e] for e in keys])
+            out[q, : len(vals)] = vals
+        return out, lens
