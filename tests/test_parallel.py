@@ -63,3 +63,23 @@ def test_sharded_encode_matches_single_device(batch):
         np.testing.assert_array_equal(
             np.sort(decoded[b, :n]), ids[b, :n]
         )
+
+
+def test_sharded_size_accounting(batch):
+    from vector_db_id_compression_tpu.parallel.mesh import (
+        sharded_size_accounting,
+    )
+
+    ids, lengths, prec = batch
+    n_max = ids.shape[1]
+    cap = rd.stack_capacity(n_max, int(prec.max()))
+    mesh = make_lists_mesh(8)
+    states, _ = sharded_roc_encode(
+        mesh, jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(prec), cap)
+    total_bytes, total_ids = sharded_size_accounting(
+        mesh, states, jnp.asarray(lengths))
+    # oracle: host accounting over the gathered states
+    want = int(np.where(lengths > 0,
+                        8 + 4 * np.asarray(states.stack_len), 0).sum())
+    assert int(total_bytes) == want
+    assert int(total_ids) == int(lengths.sum())

@@ -96,6 +96,32 @@ def sharded_roc_decode(
     return jax.jit(fn)(states, lengths, precision)
 
 
+def sharded_size_accounting(
+    mesh: Mesh,
+    states: rd.RocStates,     # lane-sharded over 'lists'
+    lengths: jax.Array,       # i32[B] lane-sharded
+) -> Tuple[jax.Array, jax.Array]:
+    """Global compressed-size accounting with a psum over the 'lists' axis
+    (SURVEY.md §2.4: the collective replacing the reference's serial size
+    loops, custom_invlists_impl.cpp:196-207 — including NOT reproducing its
+    O(nlist^2) codes_size accounting bug). Returns replicated
+    (total_bytes, total_ids) scalars."""
+
+    def local(stack_len, len_l):
+        local_bytes = jnp.sum(
+            jnp.where(len_l > 0, 8 + 4 * stack_len, 0))
+        local_ids = jnp.sum(len_l.astype(jnp.int64))
+        return (jax.lax.psum(local_bytes, "lists"),
+                jax.lax.psum(local_ids, "lists"))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("lists"), P("lists")),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)(states.stack_len, lengths)
+
+
 def shard_qinco_train_step(mesh: Mesh, train_step, state, batch):
     """Jit the model train step over a (dp, tp) mesh: batch dp-sharded,
     params replicated over dp and (where profitable) tp-sharded by XLA's
