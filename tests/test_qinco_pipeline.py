@@ -64,3 +64,11 @@ def test_search_compressed_matches_none(ds, trained, comp):
         assert abs(got["results"][0]["recalls"][r]
                    - base["results"][0]["recalls"][r]) <= 0.06
     assert got["bits_per_id"] < 64.0
+
+
+def test_search_non_deferred_matches(ds, trained):
+    """The non-deferred baseline branch (single scan + translate + harvest)
+    must return the same recalls as the deferred path on the same index."""
+    a = run_search(ds, make_args(trained, "none", defer=True), trained)
+    b = run_search(ds, make_args(trained, "none", defer=False), trained)
+    assert a["results"][0]["recalls"] == b["results"][0]["recalls"]

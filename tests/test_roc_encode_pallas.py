@@ -82,3 +82,29 @@ def test_mt_underflow_lane():
     st, _ = roc_encode(l, 4)
     assert int(np.asarray(states.head)[0]) == st.head
     assert int(np.asarray(states.mt_ctr)[0]) == st.mt_draws
+
+
+def test_8bit_digit_division_path(monkeypatch):
+    """Lists longer than 2^15 must use 8-bit long-division digits (16-bit
+    digits overflow i32). Force the dw=8 path on a small workload and assert
+    bit-exactness against the host oracle."""
+    import vector_db_id_compression_tpu.ops.roc_encode_pallas as rep
+
+    monkeypatch.setattr(rep, "_digit_bits", lambda n_max: 8)
+    rep._encode_call.clear_cache()
+    try:
+        lists, ids, lengths, prec = _workload(7, 4, 50, 12)
+        states, order, ok = rep.roc_encode_pallas(ids, lengths, prec,
+                                                  interpret=True)
+        assert ok
+        heads = np.asarray(states.head)
+        lens = np.asarray(states.stack_len)
+        stacks = np.asarray(states.stack)
+        for i, l in enumerate(lists):
+            st, _ = roc_encode(l, int(prec[i]))
+            assert heads[i] == st.head, i
+            assert lens[i] == len(st.stack), i
+            np.testing.assert_array_equal(
+                stacks[i, : lens[i]], np.array(st.stack, dtype=np.uint32))
+    finally:
+        rep._encode_call.clear_cache()

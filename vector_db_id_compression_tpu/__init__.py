@@ -35,12 +35,14 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     _jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the codec scan kernels are expensive to compile;
-# without this every CLI invocation recompiles from scratch
-_jax.config.update(
-    "jax_compilation_cache_dir",
-    _os.environ.get("VDBIDC_COMPILE_CACHE", "/tmp/jax_cache"),
-)
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# without this every CLI invocation recompiles from scratch. Only set when
+# the application hasn't configured one (a library must not clobber it).
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("VDBIDC_COMPILE_CACHE", "/tmp/jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 __version__ = "0.1.0"

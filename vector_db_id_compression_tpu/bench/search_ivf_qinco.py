@@ -139,9 +139,12 @@ def run_search(ds, args, workdir: Path):
                 xq, nshort, nprobe=args.nprobe, decode_1by1=decode_1by1,
                 return_codes=2)
         else:
-            D, I = index.search(xq, nshort, nprobe=args.nprobe)
-            codes = index._harvest_codes(
-                index.search_positional(xq, nshort, args.nprobe)[1], True)
+            # one scan: positional labels -> translate + harvest (the
+            # non-deferred baseline still pays per-result translation; it
+            # must not pay a second full scan)
+            D, L = index.search_positional(xq, nshort, args.nprobe)
+            I = index._translate(L, decode_1by1)
+            codes = index._harvest_codes(L, True)
         t_search = time.time() - t0
 
         # neural re-rank: unpack listno from the coarse prefix bytes

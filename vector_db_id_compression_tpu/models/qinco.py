@@ -177,6 +177,9 @@ class QincoCodec:
             if verbose and i % 50 == 0:
                 print(f"  qinco step {i}: loss {float(loss):.4f}", flush=True)
         self.params = state.params
+        # jitted inference closures capture params at trace time — drop any
+        # callables traced against previous weights
+        self.__dict__.pop("_jit_cache", None)
         return self
 
     # --------------------------------------------------------------- inference
@@ -184,8 +187,17 @@ class QincoCodec:
     def _apply(self, method, *args):
         return self.model.apply(self.params, *args, method=method)
 
+    def _jitted(self, name: str, fn):
+        """Cache jitted inference callables — a fresh jax.jit per call would
+        retrace the whole unrolled model every invocation."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
     def encode(self, x: np.ndarray, batch: int = 4096) -> np.ndarray:
-        enc = jax.jit(lambda xb: self._apply(Qinco.encode, xb)[0])
+        enc = self._jitted("encode",
+                           lambda xb: self._apply(Qinco.encode, xb)[0])
         out = []
         for s in range(0, len(x), batch):
             xb = np.asarray(x[s:s + batch], np.float32)
@@ -198,7 +210,7 @@ class QincoCodec:
         return np.concatenate(out).astype(np.uint8)
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
-        dec = jax.jit(lambda c: self._apply(Qinco.decode, c))
+        dec = self._jitted("decode", lambda c: self._apply(Qinco.decode, c))
         return np.asarray(dec(jnp.asarray(codes, jnp.int32)))
 
     @property

@@ -31,11 +31,15 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     so = _HERE / "roc_native.so"
     try:
         if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+            # compile to a unique temp path, then atomically rename —
+            # concurrent processes must never dlopen a half-written object
+            tmp = so.with_suffix(f".{os.getpid()}.tmp.so")
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(so), "-pthread"],
+                 str(_SRC), "-o", str(tmp), "-pthread"],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, so)
         lib = ctypes.CDLL(str(so))
     except (OSError, subprocess.CalledProcessError):
         return None

@@ -52,6 +52,13 @@ POOL_ROWS = 32  # encode draws a handful of initial-bit words per list
 _RANS_L_I32 = -2147483648  # 2^31 as an i32 bit pattern
 
 
+def _digit_bits(n_max: int) -> int:
+    """Long-division digit width: cur = r*2^w + d must stay < 2^31 with
+    r < nmax <= n_max, so 16-bit digits need n_max <= 2^15 and 8-bit digits
+    cover the full n_max < 2^16 envelope."""
+    return 16 if n_max <= (1 << 15) else 8
+
+
 def _encode_kernel(n_max: int, capp: int):
     def kernel(ids_in, pool_in, len_in, prec_in,
                buf_out, hi_out, lo_out, ptr_out, minptr_out, err_out,
@@ -98,18 +105,28 @@ def _encode_kernel(n_max: int, capp: int):
             ptr, err = push_word(ptr, lo, spill, err)
             lo0 = jnp.where(spill, hi, lo)
             hi0 = jnp.where(spill, jnp.int32(0), hi)
-            # u64 (hi0, lo0) // nmax by 16-bit-digit long division
-            d3, d2 = _srl(hi0, 16), hi0 & 0xFFFF
-            d1, d0 = _srl(lo0, 16), lo0 & 0xFFFF
+            # u64 (hi0, lo0) // nmax by schoolbook long division; digit
+            # width is a compile-time choice (see _digit_bits)
+            dw = _digit_bits(n_max)
+            dmask = (1 << dw) - 1
+            digits = [
+                _srl(word, sh) & dmask
+                for word in (hi0, lo0)
+                for sh in range(32 - dw, -1, -dw)
+            ]
             r = jnp.zeros_like(hi0)
             qs = []
-            for d in (d3, d2, d1, d0):
-                cur = _sll(r, 16) | d          # < nmax * 2^16 <= 2^31: safe
+            for d in digits:
+                cur = _sll(r, dw) | d          # < nmax * 2^dw < 2^31: safe
                 qs.append(cur // nmax)
                 r = cur % nmax
             idx = r
-            q_hi = _sll(qs[0], 16) | qs[1]
-            q_lo = _sll(qs[2], 16) | qs[3]
+            per_word = 32 // dw
+            q_hi = jnp.zeros_like(hi0)
+            q_lo = jnp.zeros_like(lo0)
+            for j in range(per_word):
+                q_hi = _sll(q_hi, dw) | qs[j]
+                q_lo = _sll(q_lo, dw) | qs[per_word + j]
             # refill if PRE-divide head < 2^31 (only possible after a spill)
             refill = (hi0 == 0) & (lo0 >= 0) & active
             w, ptr, err = pop_word(ptr, refill, err)

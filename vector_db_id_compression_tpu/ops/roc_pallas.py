@@ -342,7 +342,8 @@ class RocPallasDecoder:
 def roc_decode_pallas(states: rd.RocStates, lengths, precision, pool, n_max: int,
                       interpret: bool = False):
     """One-shot convenience wrapper (prepares and decodes). Returns numpy
-    (ids u64[B, n_max] zero-padded in encode sampling order, ok)."""
+    (ids u32[B, n_max] zero-padded in encode sampling order, ok) — u32 by
+    the kernel's precision<=32 contract; widen before u64 arithmetic."""
     dec = RocPallasDecoder(states, lengths, precision, pool, n_max)
     ids, ok = dec.decode(interpret=interpret)
     return np.asarray(ids), ok

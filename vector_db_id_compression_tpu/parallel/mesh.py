@@ -108,8 +108,8 @@ def sharded_size_accounting(
     (total_bytes, total_ids) scalars."""
 
     def local(stack_len, len_l):
-        local_bytes = jnp.sum(
-            jnp.where(len_l > 0, 8 + 4 * stack_len, 0))
+        local_bytes = jnp.sum(jnp.where(
+            len_l > 0, 8 + 4 * stack_len.astype(jnp.int64), jnp.int64(0)))
         local_ids = jnp.sum(len_l.astype(jnp.int64))
         return (jax.lax.psum(local_bytes, "lists"),
                 jax.lax.psum(local_ids, "lists"))

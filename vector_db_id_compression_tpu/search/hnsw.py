@@ -75,8 +75,14 @@ class HNSW:
         inserted[self.entry] = True
         rest = order[order != self.entry]
         for s in range(0, len(rest), batch):
-            self._insert_batch(rest[s:s + batch], xb_dev, inserted)
-            inserted[rest[s:s + batch]] = True
+            pts = rest[s:s + batch]
+            self._insert_batch(pts, xb_dev, inserted)
+            inserted[pts] = True
+            # symmetric pass: the first insertion couldn't see same-batch
+            # points (they weren't `inserted` yet), so re-link the batch now
+            # that they are — this recovers intra-batch edges and keeps
+            # early batches from degenerating into a star around the entry
+            self._insert_batch(pts, xb_dev, inserted, relink=True)
         return self
 
     def _greedy_descend(self, pts: np.ndarray, xb_dev, start: np.ndarray,
@@ -149,7 +155,8 @@ class HNSW:
         """Closest-M selection (cand arrays are distance-sorted already)."""
         return cand_ids[:, :M]
 
-    def _insert_batch(self, pts: np.ndarray, xb_dev, inserted: np.ndarray):
+    def _insert_batch(self, pts: np.ndarray, xb_dev, inserted: np.ndarray,
+                      relink: bool = False):
         B = len(pts)
         lvls = self.levels[pts]
         cur = np.full(B, self.entry, dtype=np.int32)
@@ -167,14 +174,31 @@ class HNSW:
             ids, d = self._ef_search(pts[sub], xb_dev, cur[sub], l,
                                      self.ef_construction, inserted)
             Mcap = self.Mmax0 if l == 0 else self.M
-            sel = self._select_neighbors(ids, d, min(self.M, Mcap))
+            out_deg = min(self.M, Mcap)
+            sel = self._select_neighbors(ids, d, out_deg)
             adj = self.layers[l]
             # link assignment + reverse links with degree-cap pruning
             for row, bi in enumerate(sub):
                 p = int(pts[bi])
-                friends = [int(v) for v in sel[row] if v >= 0]
-                adj[p, :len(friends)] = friends
+                friends = [int(v) for v in sel[row] if v >= 0 and int(v) != p]
+                if relink:
+                    # merge with the first pass's links, keep the closest
+                    existing = [int(v) for v in adj[p] if v >= 0]
+                    merged = np.array(
+                        list(dict.fromkeys(existing + friends)), dtype=np.int64)
+                    if len(merged):
+                        dv = self._pair_d(p, merged)
+                        merged = merged[np.argsort(dv)][:out_deg]
+                    new_links = [v for v in merged.tolist()
+                                 if v not in existing]
+                    adj[p, :] = -1
+                    adj[p, : len(merged)] = merged
+                    friends = new_links  # only add fresh reverse edges below
+                else:
+                    adj[p, : len(friends)] = friends
                 for v in friends:
+                    if p in adj[v]:
+                        continue
                     slot = np.flatnonzero(adj[v] < 0)
                     if len(slot):
                         adj[v, slot[0]] = p
@@ -206,13 +230,17 @@ class HNSW:
         xb_dev = jnp.asarray(self._xb)
         inserted = np.ones(len(self._xb), dtype=bool)
         cur = np.full(len(xq), self.entry, dtype=np.int32)
-        # greedy descent reads queries from self._xb[pts]; stash and swap
+        # greedy descent reads queries from self._xb[pts]; stash and swap —
+        # restored in finally so an exception mid-descent can't leave the
+        # index pointing at the query batch
         orig_xb = self._xb
-        self._xb = xq  # _greedy_descend indexes self._xb[pts] for queries
-        for l in range(self.max_level, 0, -1):
-            cur = self._greedy_descend(np.arange(len(xq)), xb_dev, cur, l,
-                                       inserted)
-        self._xb = orig_xb
+        try:
+            self._xb = xq  # _greedy_descend indexes self._xb[pts] for queries
+            for l in range(self.max_level, 0, -1):
+                cur = self._greedy_descend(np.arange(len(xq)), xb_dev, cur, l,
+                                           inserted)
+        finally:
+            self._xb = orig_xb
         g0 = graph0 if graph0 is not None else self.level0_graph()
         # per-query entry points: search_graph takes one entry; run it per
         # unique entry group (typically few after the descent)

@@ -543,6 +543,7 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
                  interleave_min: int = 4096):
         super().__init__(il)
         from .. import native
+        from ..codecs.roc_interleaved import partition_sizes
 
         assert interleave >= 1
         use_native = (native.available()
@@ -562,8 +563,7 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
             perm = np.argsort(v, kind="stable")
             sv = v[perm]
             S = interleave if len(v) >= max(interleave_min, interleave) else 1
-            sizes = np.full(S, len(v) // S, dtype=np.int64)
-            sizes[: len(v) % S] += 1
+            sizes = partition_sizes(len(v), S)
             bounds = np.zeros(S + 1, dtype=np.int64)
             np.cumsum(sizes, out=bounds[1:])
             self.id_symbol_precision[ln] = precision_for_max_id_safe(
