@@ -1,0 +1,227 @@
+"""RRR(63) compressed bitvectors with device rank/select.
+
+Reference parity: the wavelet-tree invlists' ``wt_type 1`` wraps its bit
+planes in ``sdsl::rrr_vector<63>`` (custom_invlists_impl.cpp:367-373). This
+is the from-scratch equivalent:
+
+  - blocks of 63 bits, each stored as a 6-bit *class* (its popcount k) plus
+    a ceil(log2(C(63,k)))-bit *offset* (the block's combinatorial rank among
+    all 63-bit words of popcount k) — the classic H0-compressed layout;
+  - per-block inclusive rank prefix + per-block offset bit-start as the
+    select/rank index (the analogue of SDSL's superblock pointers, counted
+    as index overhead exactly like the reference reports them separately);
+  - **device** rank/select: block lookup is a searchsorted over the rank
+    prefix; the touched block is combinatorially unranked on the fly with a
+    63-step `lax.fori_loop` over a u64 binomial table (regular XLA, not
+    Pallas — u64 arithmetic is available here).
+
+Build is host-side numpy (vectorized over blocks; the only Python loop is
+over the 63 in-block positions).
+"""
+
+from __future__ import annotations
+
+from math import comb
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 63
+
+# binomial table C[n][k] for n,k <= 63; C(63,31) ~ 9.16e17 < 2^63 fits u64
+_C = np.zeros((BLOCK + 1, BLOCK + 1), dtype=np.uint64)
+for _n in range(BLOCK + 1):
+    for _k in range(_n + 1):
+        _C[_n, _k] = comb(_n, _k)
+
+# offset field width per class
+OFF_BITS = np.array(
+    [int(_C[BLOCK, k] - 1).bit_length() if 0 < k < BLOCK else 0
+     for k in range(BLOCK + 1)],
+    dtype=np.int32,
+)
+
+
+class RRRPlanes(NamedTuple):
+    """L stacked RRR bitvectors (one per wavelet-tree level)."""
+
+    classes: jax.Array      # i32[L, NB] block popcounts (the 6-bit classes)
+    off_words: jax.Array    # u32[L, OW] packed offset fields
+    off_start: jax.Array    # i64[L, NB] bit position of each block's offset
+    rank_prefix: jax.Array  # i64[L, NB] inclusive popcount up to block end
+    n: int                  # bits per plane
+    levels: int
+
+    @property
+    def payload_bits(self) -> int:
+        """Exact RRR payload: 6 class bits + offset bits per block."""
+        cls = np.asarray(self.classes)
+        return int(6 * cls.size + OFF_BITS[cls].sum())
+
+    @property
+    def index_bits(self) -> int:
+        """Select/rank index (superblock-pointer analogue): prefix + starts,
+        counted at the widths a tight packing needs."""
+        nb = np.asarray(self.classes).shape[1]
+        lvls = self.levels
+        rank_w = max(int(self.n).bit_length(), 1)
+        start_w = max(int(np.asarray(self.off_start).max(initial=1))
+                      .bit_length(), 1)
+        return lvls * nb * (rank_w + start_w)
+
+
+def _block_offsets_host(blocks: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """blocks u8[NB, 63] -> (classes i32[NB], offsets u64[NB]):
+    combinatorial rank of each block among 63-bit words of its popcount."""
+    NB = blocks.shape[0]
+    k_rem = blocks.sum(axis=1).astype(np.int64)
+    classes = k_rem.astype(np.int32)
+    off = np.zeros(NB, dtype=np.uint64)
+    for i in range(BLOCK):
+        ones = blocks[:, i] == 1
+        # positions after i: BLOCK-1-i; choosing a 1 here skips all blocks
+        # with a 0 at i, i.e. C(BLOCK-1-i, k_rem) patterns
+        off[ones] += _C[BLOCK - 1 - i, np.clip(k_rem[ones], 0, BLOCK)]
+        k_rem[ones] -= 1
+    return classes, off
+
+
+def rrr_encode_planes(planes: np.ndarray) -> RRRPlanes:
+    """planes u8[L, n] of 0/1 -> stacked RRR vectors."""
+    planes = np.asarray(planes, dtype=np.uint8)
+    L, n = planes.shape
+    NB = max((n + BLOCK - 1) // BLOCK, 1)
+    padded = np.zeros((L, NB * BLOCK), dtype=np.uint8)
+    padded[:, :n] = planes
+    blocks = padded.reshape(L, NB, BLOCK)
+
+    classes = np.zeros((L, NB), dtype=np.int32)
+    offsets = np.zeros((L, NB), dtype=np.uint64)
+    for l in range(L):
+        classes[l], offsets[l] = _block_offsets_host(blocks[l])
+
+    widths = OFF_BITS[classes]                       # i32[L, NB]
+    off_start = np.zeros((L, NB), dtype=np.int64)
+    off_start[:, 1:] = np.cumsum(widths, axis=1)[:, :-1]
+    total_bits = int(widths.sum(axis=1).max()) if NB else 0
+    OW = max((total_bits + 31) // 32, 1)
+    bitarr = np.zeros((L, OW * 32), dtype=np.uint8)
+    max_w = int(widths.max(initial=0))
+    for j in range(max_w):
+        sel = widths > j                             # [L, NB]
+        pos = off_start[sel] + j
+        bits = ((offsets[sel] >> np.uint64(j)) & np.uint64(1)).astype(np.uint8)
+        rows = np.nonzero(sel)[0]
+        bitarr[rows, pos] = bits
+    # pack LSB-first into u32 words
+    weights = (1 << np.arange(32, dtype=np.uint32))
+    off_words = (bitarr.reshape(L, OW, 32).astype(np.uint32)
+                 * weights[None, None, :]).sum(axis=2, dtype=np.uint32)
+
+    rank_prefix = np.cumsum(classes.astype(np.int64), axis=1)
+    return RRRPlanes(
+        classes=jnp.asarray(classes),
+        off_words=jnp.asarray(off_words),
+        off_start=jnp.asarray(off_start),
+        rank_prefix=jnp.asarray(rank_prefix),
+        n=n, levels=L,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device block decode (combinatorial unranking)
+# ---------------------------------------------------------------------------
+
+_C_dev = jnp.asarray(_C)                 # u64[64, 64]
+_OFF_BITS_dev = jnp.asarray(OFF_BITS)    # i32[64]
+
+
+def _read_offset(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
+    """Read each queried block's packed offset field -> u64[Q]."""
+    start = rrr.off_start[level, blk]               # i64[Q]
+    width = _OFF_BITS_dev[rrr.classes[level, blk]]  # i32[Q]
+    w = (start >> 5).astype(jnp.int32)
+    s = (start & 31).astype(jnp.uint32)
+    OW = rrr.off_words.shape[1]
+    w0 = rrr.off_words[level, jnp.clip(w, 0, OW - 1)].astype(jnp.uint64)
+    w1 = rrr.off_words[level, jnp.clip(w + 1, 0, OW - 1)].astype(jnp.uint64)
+    w2 = rrr.off_words[level, jnp.clip(w + 2, 0, OW - 1)].astype(jnp.uint64)
+    lo64 = w0 | (w1 << jnp.uint64(32))
+    s64 = s.astype(jnp.uint64)
+    val = lo64 >> s64
+    hi_part = jnp.where(s64 > 0, w2 << (jnp.uint64(64) - s64), jnp.uint64(0))
+    val = val | hi_part
+    mask = jnp.where(
+        width >= 63,
+        jnp.uint64(0xFFFFFFFFFFFFFFFF),
+        (jnp.uint64(1) << width.astype(jnp.uint64)) - jnp.uint64(1),
+    )
+    return val & mask
+
+
+def _decode_blocks(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
+    """Unrank queried blocks -> u64[Q] bitmasks (bit i = position i)."""
+    k0 = rrr.classes[level, blk].astype(jnp.int32)
+    off0 = _read_offset(rrr, level, blk)
+
+    def step(i, carry):
+        off, k, bits = carry
+        c = _C_dev[BLOCK - 1 - i, jnp.clip(k, 0, BLOCK)]
+        take = (off >= c) & (k > 0)
+        off = jnp.where(take, off - c, off)
+        bits = bits | jnp.where(
+            take, jnp.uint64(1) << i.astype(jnp.uint64), jnp.uint64(0))
+        k = k - take.astype(jnp.int32)
+        return off, k, bits
+
+    _, _, bits = jax.lax.fori_loop(
+        0, BLOCK, step, (off0, k0, jnp.zeros_like(off0)))
+    return bits
+
+
+def rrr_rank1(rrr: RRRPlanes, level: int, pos: jax.Array) -> jax.Array:
+    """Set bits strictly below pos; pos i64[Q]."""
+    blk = (pos // BLOCK).astype(jnp.int32)
+    NB = rrr.rank_prefix.shape[1]
+    blk = jnp.clip(blk, 0, NB - 1)
+    before = jnp.where(blk > 0, rrr.rank_prefix[level,
+                                                jnp.maximum(blk - 1, 0)], 0)
+    m = (pos - blk.astype(jnp.int64) * BLOCK).astype(jnp.uint64)
+    bits = _decode_blocks(rrr, level, blk)
+    mask = (jnp.uint64(1) << m) - jnp.uint64(1)
+    inblk = jax.lax.population_count(bits & mask).astype(jnp.int64)
+    return before + inblk
+
+
+def _select_in_block(bits: jax.Array, j: jax.Array, invert: bool) -> jax.Array:
+    """(j+1)-th set (or clear) position within the 63-bit block."""
+    shifts = jnp.arange(BLOCK, dtype=jnp.uint64)
+    b = ((bits[..., None] >> shifts) & jnp.uint64(1)).astype(jnp.int32)
+    if invert:
+        b = 1 - b
+    cum = jnp.cumsum(b, axis=-1)
+    return jnp.argmax(cum == (j[..., None] + 1), axis=-1).astype(jnp.int64)
+
+
+def rrr_select1(rrr: RRRPlanes, level: int, k: jax.Array) -> jax.Array:
+    p = rrr.rank_prefix[level]
+    blk = jnp.searchsorted(p, k + 1, side="left").astype(jnp.int32)
+    blk = jnp.clip(blk, 0, p.shape[0] - 1)
+    before = jnp.where(blk > 0, p[jnp.maximum(blk - 1, 0)], 0)
+    bits = _decode_blocks(rrr, level, blk)
+    return (blk.astype(jnp.int64) * BLOCK
+            + _select_in_block(bits, k - before, invert=False))
+
+
+def rrr_select0(rrr: RRRPlanes, level: int, k: jax.Array) -> jax.Array:
+    p1 = rrr.rank_prefix[level]
+    NB = p1.shape[0]
+    p0 = (jnp.arange(NB, dtype=jnp.int64) + 1) * BLOCK - p1
+    blk = jnp.searchsorted(p0, k + 1, side="left").astype(jnp.int32)
+    blk = jnp.clip(blk, 0, NB - 1)
+    before = jnp.where(blk > 0, p0[jnp.maximum(blk - 1, 0)], 0)
+    bits = _decode_blocks(rrr, level, blk)
+    return (blk.astype(jnp.int64) * BLOCK
+            + _select_in_block(bits, k - before, invert=True))

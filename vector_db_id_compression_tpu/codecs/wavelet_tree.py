@@ -129,26 +129,22 @@ def _select0(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def wt_select(wt: WaveletTree, symbol: jax.Array, offset: jax.Array) -> jax.Array:
-    """Vectorized over query arrays: global position (the vector id) of the
-    (offset+1)-th occurrence of ``symbol`` (0-based offset) — the reference's
-    wt.select(offset+1, list_no) (custom_invlists_impl.cpp:377-379).
-
-    Two sweeps over the L levels; every step is a batched rank or select.
-    """
+def _wt_select_generic(n: int, L: int, rank1, select0, select1,
+                       symbol: jax.Array, offset: jax.Array) -> jax.Array:
+    """The two-sweep select walk, parameterized over the level primitives
+    (plain bit planes or RRR-compressed planes — codecs/rrr.py)."""
     symbol = symbol.astype(jnp.int64)
     offset = offset.astype(jnp.int64)
-    L = wt.levels
 
     # top-down: node interval [lo, hi) along the bit path; remember per level
     # the node start, its rank0/rank1 there, the branch bit, and child start
     lo = jnp.zeros_like(offset)
-    hi = jnp.full_like(offset, wt.n)
+    hi = jnp.full_like(offset, n)
     per_level = []
     for l in range(L):
         b = (symbol >> (L - 1 - l)) & 1
-        r1_lo = _rank1(wt, l, lo)
-        r1_hi = _rank1(wt, l, hi)
+        r1_lo = rank1(l, lo)
+        r1_hi = rank1(l, hi)
         r0_lo = lo - r1_lo
         z = (hi - r1_hi) - r0_lo  # zeros inside [lo, hi)
         child_lo = jnp.where(b == 0, lo, lo + z)
@@ -163,7 +159,50 @@ def wt_select(wt: WaveletTree, symbol: jax.Array, offset: jax.Array) -> jax.Arra
         j = p - child_lo
         p = jnp.where(
             b == 0,
-            _select0(wt, l, r0_lo + j),
-            _select1(wt, l, r1_lo + j),
+            select0(l, r0_lo + j),
+            select1(l, r1_lo + j),
         )
     return p
+
+
+def wt_select(wt: WaveletTree, symbol: jax.Array, offset: jax.Array) -> jax.Array:
+    """Vectorized over query arrays: global position (the vector id) of the
+    (offset+1)-th occurrence of ``symbol`` (0-based offset) — the reference's
+    wt.select(offset+1, list_no) (custom_invlists_impl.cpp:377-379).
+
+    Two sweeps over the L levels; every step is a batched rank or select.
+    """
+    return _wt_select_generic(
+        wt.n, wt.levels,
+        lambda l, pos: _rank1(wt, l, pos),
+        lambda l, k: _select0(wt, l, k),
+        lambda l, k: _select1(wt, l, k),
+        symbol, offset,
+    )
+
+
+def wt_select_rrr(rrr, symbol: jax.Array, offset: jax.Array) -> jax.Array:
+    """wt_select over RRR(63)-compressed bit planes (wt_type 1 —
+    sdsl::wt_int<rrr_vector<63>> parity, custom_invlists_impl.cpp:367-373)."""
+    from .rrr import rrr_rank1, rrr_select0, rrr_select1
+
+    return _wt_select_generic(
+        rrr.n, rrr.levels,
+        lambda l, pos: rrr_rank1(rrr, l, pos),
+        lambda l, k: rrr_select0(rrr, l, k),
+        lambda l, k: rrr_select1(rrr, l, k),
+        symbol, offset,
+    )
+
+
+def wt_planes(symbols: np.ndarray, sigma: int) -> np.ndarray:
+    """The raw bit planes u8[L, n] of the levelwise tree (for RRR storage)."""
+    symbols = np.asarray(symbols, dtype=np.uint32)
+    n = len(symbols)
+    L = wt_levels(sigma)
+    planes = np.zeros((L, n), dtype=np.uint8)
+    for l in range(L):
+        seq = symbols if l == 0 else symbols[
+            np.argsort(symbols >> (L - l), kind="stable")]
+        planes[l] = ((seq >> (L - 1 - l)) & 1).astype(np.uint8)
+    return planes

@@ -447,9 +447,10 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
     """One wavelet tree over list_nos[id]; ids per list must be ascending
     (asserted, as the reference does at .cpp:357-362); codes stay unreordered.
 
-    wt_type 0 = plain bit planes; wt_type 1 additionally reports the
-    RRR(63)-compressed payload size (storage stays plain for decode speed —
-    the value path is identical, only the size accounting differs)."""
+    wt_type 0 = plain bit planes (sdsl wt_int<bit_vector> parity); wt_type 1
+    stores the planes RRR(63)-compressed (wt_int<rrr_vector<63>> parity,
+    codecs/rrr.py) — smaller, slower select, exactly the reference's
+    trade-off (custom_invlists_impl.cpp:367-373)."""
 
     supports_random_access = True
 
@@ -467,16 +468,25 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
             assert int(ids[-1]) < ntotal
             list_nos[ids] = list_no
         self.codes_all = [il.codes[ln].copy() for ln in range(il.nlist)]
-        self.wt = build_wavelet_tree(list_nos, il.nlist)
         if wt_type == 0:
+            self.wt = build_wavelet_tree(list_nos, il.nlist)
             self.compressed_ids_size_in_bytes = (
                 self.wt.size_in_bits + self.wt.index_size_in_bits
             ) // 8
         else:
-            self.compressed_ids_size_in_bytes = (
-                _rrr_size_bits(np.asarray(self.wt.words), self.wt.n, self.wt.levels)
-                + self.wt.index_size_in_bits
-            ) // 8
+            from ..codecs.rrr import rrr_encode_planes
+            from ..codecs.wavelet_tree import wt_planes
+
+            self.wt = rrr_encode_planes(wt_planes(list_nos, il.nlist))
+            self.compressed_ids_size_in_bytes = self.wt.payload_bits // 8
+            self.overhead_in_bytes = self.wt.index_bits // 8
+
+    def _select(self, sym, offs):
+        if self.wt_type == 0:
+            return wt_select(self.wt, sym, offs)
+        from ..codecs.wavelet_tree import wt_select_rrr
+
+        return wt_select_rrr(self.wt, sym, offs)
 
     def decode_lists(self, list_nos):
         list_nos = np.asarray(list_nos, dtype=np.int64)
@@ -485,38 +495,20 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
         sym = np.repeat(list_nos, max_len).reshape(len(list_nos), max_len)
         offs = np.tile(np.arange(max_len, dtype=np.int64), (len(list_nos), 1))
         vals = np.asarray(
-            wt_select(self.wt, jnp.asarray(sym), jnp.asarray(np.minimum(offs, np.maximum(lens[:, None] - 1, 0))))
+            self._select(jnp.asarray(sym), jnp.asarray(np.minimum(offs, np.maximum(lens[:, None] - 1, 0))))
         ).astype(np.uint64)
         mask = offs < lens[:, None]
         return np.where(mask, vals, 0), lens
 
     def get_single_ids_batch(self, list_nos, offsets):
         return np.asarray(
-            wt_select(self.wt, jnp.asarray(np.asarray(list_nos, np.int64)),
-                      jnp.asarray(np.asarray(offsets, np.int64)))
+            self._select(jnp.asarray(np.asarray(list_nos, np.int64)),
+                         jnp.asarray(np.asarray(offsets, np.int64)))
         ).astype(np.uint64)
 
 
-def _rrr_size_bits(words: np.ndarray, nbits: int, levels: int) -> int:
-    """Exact RRR(block=63) payload size: per block, 6 class bits +
-    ceil(log2(C(63, k))) offset bits (superblock pointers counted in the
-    index overhead)."""
-    from math import comb, log2, ceil
-
-    offs_bits = np.array([ceil(log2(comb(63, k))) if 0 < k < 63 else 0 for k in range(64)])
-    total = 0
-    # logical bit stream: LSB-first within little-endian u32 words
-    flat = np.unpackbits(
-        words.astype("<u4").view(np.uint8).reshape(levels, -1), axis=1, bitorder="little"
-    )
-    for l in range(levels):
-        bits = flat[l][:nbits]
-        nblocks = (nbits + 62) // 63
-        padded = np.zeros(nblocks * 63, dtype=np.uint8)
-        padded[: len(bits)] = bits
-        ks = padded.reshape(nblocks, 63).sum(axis=1)
-        total += 6 * nblocks + int(offs_bits[ks].sum())
-    return total
+# (the exact RRR payload accounting now lives in codecs/rrr.py
+# RRRPlanes.payload_bits; wt_type=1 stores real RRR planes)
 
 
 # ---------------------------------------------------------------------------

@@ -110,7 +110,13 @@ def save_invlists(path: Union[str, Path], c: CompressedInvertedLists) -> None:
             arrs[f"b{bi}_words"] = np.asarray(pb.words)
         meta["n_buckets"] = len(c._buckets)
     elif kind == "wavelet_tree":
-        arrs["wt_words"] = np.asarray(c.wt.words)
+        if c.wt_type == 0:
+            arrs["wt_words"] = np.asarray(c.wt.words)
+        else:  # RRR(63)-compressed planes (codecs/rrr.py)
+            arrs["rrr_classes"] = np.asarray(c.wt.classes)
+            arrs["rrr_off_words"] = np.asarray(c.wt.off_words)
+            arrs["rrr_off_start"] = np.asarray(c.wt.off_start)
+            arrs["rrr_rank_prefix"] = np.asarray(c.wt.rank_prefix)
         arrs["wt_meta"] = np.array([c.wt.n, c.wt.levels, c.wt_type])
 
     np.savez(path, **arrs, **{f"meta_{k}": np.array(str(v)) for k, v in meta.items()})
@@ -188,12 +194,24 @@ def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
             )
     elif kind == "wavelet_tree":
         n, levels, wt_type = (int(v) for v in z["wt_meta"])
-        words = jnp.asarray(z["wt_words"])
-        pops = np.cumsum(
-            np.bitwise_count(z["wt_words"].astype(np.uint32)).astype(np.int64), axis=1
-        )
-        c.wt = WaveletTree(words, jnp.asarray(pops), n, levels)
         c.wt_type = wt_type
+        if wt_type == 0:
+            words = jnp.asarray(z["wt_words"])
+            pops = np.cumsum(
+                np.bitwise_count(z["wt_words"].astype(np.uint32)).astype(np.int64),
+                axis=1,
+            )
+            c.wt = WaveletTree(words, jnp.asarray(pops), n, levels)
+        else:
+            from ..codecs.rrr import RRRPlanes
+
+            c.wt = RRRPlanes(
+                classes=jnp.asarray(z["rrr_classes"]),
+                off_words=jnp.asarray(z["rrr_off_words"]),
+                off_start=jnp.asarray(z["rrr_off_start"]),
+                rank_prefix=jnp.asarray(z["rrr_rank_prefix"]),
+                n=n, levels=levels,
+            )
     return c
 
 
