@@ -56,3 +56,23 @@ def test_graph_artifact_byte_stable(setup, tmp_path):
     save_graph(p1, g)
     save_graph(p2, g)
     assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_hnsw_round_trip(tmp_path):
+    from vector_db_id_compression_tpu.search.hnsw import HNSW
+    from vector_db_id_compression_tpu.store.serialize import (
+        load_hnsw,
+        save_hnsw,
+    )
+
+    rng = np.random.default_rng(31)
+    xb = rng.normal(size=(300, 8)).astype(np.float32)
+    xq = rng.normal(size=(10, 8)).astype(np.float32)
+    h = HNSW(M=8, ef_construction=24).build(xb, batch=64)
+    D1, I1 = h.search(xq, 5)
+    p = tmp_path / "h.npz"
+    save_hnsw(p, h)
+    h2 = load_hnsw(p, xb)
+    D2, I2 = h2.search(xq, 5)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)

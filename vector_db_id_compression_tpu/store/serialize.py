@@ -302,3 +302,38 @@ def load_graph(path: Union[str, Path]):
         g.num_outgoing_edges = g.degrees
         g._n_slices = rd.n_slices_for(int(z["prec"].max(initial=1)))
     return g
+
+
+# ---------------------------------------------------------------------------
+# HNSW index (all layers + metadata)
+# ---------------------------------------------------------------------------
+
+
+def save_hnsw(path: Union[str, Path], h) -> None:
+    """Durable artifact for a search.hnsw.HNSW index (adjacency layers,
+    level assignment, entry point; vectors are the caller's to store)."""
+    arrs = {
+        "levels": np.asarray(h.levels),
+        "meta": np.array([h.M, h.Mmax0, h.entry, h.max_level,
+                          int(h.ef_construction), h.seed], dtype=np.int64),
+    }
+    for l, layer in enumerate(h.layers):
+        arrs[f"layer{l}"] = layer
+    np.savez(path, **arrs,
+             **{"meta_magic": np.array(MAGIC), "meta_kind": np.array("hnsw")})
+
+
+def load_hnsw(path: Union[str, Path], xb: np.ndarray):
+    """Reconstruct an HNSW over the caller-provided database vectors."""
+    from ..search.hnsw import HNSW
+
+    z = np.load(path, allow_pickle=False)
+    assert str(z["meta_magic"]) == MAGIC and str(z["meta_kind"]) == "hnsw"
+    M, Mmax0, entry, max_level, efc, seed = (int(v) for v in z["meta"])
+    h = HNSW(M=M, ef_construction=efc, seed=seed)
+    h.levels = z["levels"]
+    h.entry = entry
+    h.max_level = max_level
+    h.layers = [z[f"layer{l}"].copy() for l in range(max_level + 1)]
+    h._xb = np.asarray(xb, np.float32)
+    return h
