@@ -22,6 +22,7 @@ from typing import List
 
 import numpy as np
 
+from ..search.graph_device import search_graph_device
 from ..search.nsg import build_nsg, search_graph
 from ..store.graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
 
@@ -37,7 +38,11 @@ METHODS = ["ref", "compact", "elias-fano", "roc"]
 
 def run_bench(ds, max_degree: int, runs: int = 100, k: int = 10,
               methods: List[str] = METHODS,
-              out_csv: str = "graph_dynamic_bench_out.csv"):
+              out_csv: str = "graph_dynamic_bench_out.csv",
+              host_search: bool = False):
+    """``host_search`` switches back to the per-hop host loop; the default is
+    the fully-jitted device traversal (identical results — tests/
+    test_graph_device.py — and ~100x faster on a remote TPU)."""
     xb = ds.get_database()
     xq = ds.get_queries()
     gt = ds.get_groundtruth(k)
@@ -63,12 +68,17 @@ def run_bench(ds, max_degree: int, runs: int = 100, k: int = 10,
             ids_size = g.compressed_ids_size_in_bytes
             overhead = g.overhead_in_bytes
 
-        search_graph(g, xb, xq, k, entry=medoid)  # warmup/compile
+        if host_search:
+            search = lambda: search_graph(g, xb, xq, k, entry=medoid)[1]
+        else:
+            search = lambda: search_graph_device(g, xb, xq, k,
+                                                 entry=medoid)[1]
+        search()  # warmup/compile
         times = []
         I = None
         for _ in range(runs):
             t0 = time.time()
-            _, I, _ = search_graph(g, xb, xq, k, entry=medoid)
+            I = search()
             times.append(time.time() - t0)
         recall = float((I[:, :1] == gt[:, :1]).sum()) / len(xq)
         row = dict(
@@ -106,13 +116,16 @@ def main(argv=None):
     p.add_argument("--methods", nargs="+", default=METHODS)
     p.add_argument("--fb_ssnpp_dir", default=None)
     p.add_argument("--synth_scale", type=float, default=1.0)
+    p.add_argument("--host-search", action="store_true",
+                   help="use the per-hop host loop instead of the jitted "
+                        "device traversal")
     p.add_argument("--out", default="graph_dynamic_bench_out.csv")
     a = p.parse_args(argv)
 
     from .datasets import get_dataset
     ds = get_dataset(a.dataset, a.fb_ssnpp_dir, synth_scale=a.synth_scale)
     run_bench(ds, a.max_degree, runs=a.runs, k=a.k, methods=a.methods,
-              out_csv=a.out)
+              out_csv=a.out, host_search=a.host_search)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,220 @@
+"""Fully-jitted best-first graph search — the whole traversal in ONE device
+program.
+
+The host-driven loop (search/nsg.py:search_graph) pays a host↔device round
+trip per hop: per-visit neighbor decode is exactly the reference's
+latency-critical integration point (SURVEY.md §3.3), and on a remote TPU each
+round trip costs ~35 ms. This module keeps the entire search resident:
+
+  - candidate pools, visited bitsets, and the frontier all live in device
+    arrays; the loop is a `lax.while_loop` that runs until no query has an
+    unexpanded finite candidate (capped at `max_iters`);
+  - the per-hop neighbor fetch is a pluggable *provider*: a pytree of device
+    arrays plus a static function `(tree, nodes i32[Q]) -> (nbrs i32[Q, K],
+    counts i32[Q])`. Providers exist for the dense Graph and all three
+    compressed adjacency containers — the ROC provider runs the batched ANS
+    decode chain *inside* the traversal loop, the TPU answer to the
+    reference's decode-inside-get_neighbors hot path (altid_impl.cpp:153-165);
+  - results match the host implementation exactly: same pool discipline,
+    same (distance, id) lexicographic tie-breaking.
+
+Visited-set: one bitset row per query (u32[Q, ceil(N/32)]); the K per-slot
+scatter-ORs are row-unique so the update is deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs import roc_device as rd
+from ..codecs.elias_fano import EliasFanoBatch, ef_decode_all
+from ..core.bits import get_fixed_fields
+from . import nsg as _nsg
+
+
+# ------------------------------------------------------------- providers
+
+def graph_provider(graph):
+    """Dense adjacency (store.graph.Graph)."""
+    tree = (jnp.asarray(graph.adjacency), jnp.asarray(graph.degrees))
+
+    def fetch(tree, nodes):
+        adj, deg = tree
+        return adj[nodes], deg[nodes]
+
+    return tree, fetch, graph.K
+
+
+def compact_provider(g):
+    """CompactBitGraph: fixed-width field decode."""
+    tree = (g._words, jnp.asarray(g.degrees))
+    K, bits = g.K, g.bits
+
+    def fetch(tree, nodes):
+        words, deg = tree
+        w = words[nodes]
+        idx = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :], (nodes.shape[0], K))
+        vals = get_fixed_fields(w, bits, idx).astype(jnp.int32)
+        return vals, deg[nodes]
+
+    return tree, fetch, K
+
+
+def ef_provider(g):
+    """EliasFanoGraph: per-node EF sweep decode."""
+    tree = (g._ef, jnp.asarray(g.degrees))
+    K = g.K
+
+    def fetch(tree, nodes):
+        ef, deg = tree
+        sub = EliasFanoBatch(
+            high=jax.tree_util.tree_map(lambda a: a[nodes], ef.high),
+            low_words=ef.low_words[nodes],
+            l=ef.l[nodes],
+            m=ef.m[nodes],
+        )
+        vals = ef_decode_all(sub, K).astype(jnp.int32)
+        return vals, deg[nodes]
+
+    return tree, fetch, K
+
+
+def roc_provider(g):
+    """RocGraph: full ANS decode of each visited node's neighbor set, inside
+    the traversal loop (the reference's decode-in-get_neighbors hot path)."""
+    tree = (g._states, g._prec_dev, jnp.asarray(g.degrees),
+            rd.default_pool(g.K))
+    K, n_slices = g.K, g._n_slices
+
+    def fetch(tree, nodes):
+        states, prec, deg, pool = tree
+        sub = jax.tree_util.tree_map(lambda a: a[nodes], states)
+        ids, _ = rd.roc_decode_batch(sub, deg[nodes], prec[nodes], pool, K,
+                                     n_slices)
+        return ids.astype(jnp.int32), deg[nodes]
+
+    return tree, fetch, K
+
+
+def provider_for(graph):
+    """Pick (and memoize on the instance — the fetch closure is a static jit
+    argument, so a fresh one per call would force a retrace) the provider
+    matching a graph container."""
+    cached = graph.__dict__.get("_device_provider")
+    if cached is not None:
+        return cached
+    from ..store.graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
+
+    if isinstance(graph, Graph):
+        p = graph_provider(graph)
+    elif isinstance(graph, CompactBitGraph):
+        p = compact_provider(graph)
+    elif isinstance(graph, EliasFanoGraph):
+        p = ef_provider(graph)
+    elif isinstance(graph, RocGraph):
+        p = roc_provider(graph)
+    else:
+        raise TypeError(type(graph))
+    graph.__dict__["_device_provider"] = p
+    return p
+
+
+# ------------------------------------------------------------- the search
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+def _search(fetch, tree, xb, xq, K, k, L, max_iters, entry):
+    nq, d = xq.shape
+    N = xb.shape[0]
+    NW = (N + 31) // 32
+
+    def dists(nodes):
+        vecs = xb[jnp.maximum(nodes, 0)]
+        dd = jnp.sum((vecs - xq[:, None, :]) ** 2, axis=2)
+        return jnp.where(nodes >= 0, dd, jnp.inf)
+
+    pool_ids = jnp.full((nq, L), -1, dtype=jnp.int64)
+    pool_d = jnp.full((nq, L), jnp.inf, dtype=jnp.float32)
+    pool_exp = jnp.zeros((nq, L), dtype=bool)
+    visited = jnp.zeros((nq, NW), dtype=jnp.uint32)
+
+    e = jnp.full((nq, 1), entry, jnp.int32)
+    d0 = dists(e)[:, 0]
+    pool_ids = pool_ids.at[:, 0].set(entry)
+    pool_d = pool_d.at[:, 0].set(d0)
+    visited = visited.at[:, entry // 32].set(jnp.uint32(1) << (entry % 32))
+
+    rows = jnp.arange(nq)
+
+    def cond(carry):
+        pool_ids, pool_d, pool_exp, visited, it = carry
+        cand = jnp.where(pool_exp | (pool_ids < 0), jnp.inf, pool_d)
+        return (it < max_iters) & jnp.any(jnp.isfinite(cand))
+
+    def body(carry):
+        pool_ids, pool_d, pool_exp, visited, it = carry
+        cand = jnp.where(pool_exp | (pool_ids < 0), jnp.inf, pool_d)
+        sel = jnp.argmin(cand, axis=1)
+        active = jnp.isfinite(cand[rows, sel])
+        sel_nodes = jnp.where(active, pool_ids[rows, sel], 0).astype(jnp.int32)
+        pool_exp = pool_exp.at[rows, sel].set(pool_exp[rows, sel] | active)
+
+        nbrs, counts = fetch(tree, sel_nodes)          # [nq, K]
+        slot_ok = (jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None])
+        nbrs = jnp.where(slot_ok & active[:, None], nbrs, -1)
+
+        # visited filter + mark (per-slot scatter-OR; one index per row)
+        v = jnp.maximum(nbrs, 0)
+        w_idx = (v // 32).astype(jnp.int32)
+        bit = jnp.uint32(1) << (v % 32).astype(jnp.uint32)
+        seen = (visited[rows[:, None], w_idx] & bit) != 0
+        fresh = (nbrs >= 0) & ~seen
+        # in-row duplicate suppression: keep only the first occurrence
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        first = jnp.argmax(eq, axis=2) == jnp.arange(K)[None, :]
+        fresh = fresh & first
+        for j in range(K):
+            visited = visited.at[rows, w_idx[:, j]].set(
+                visited[rows, w_idx[:, j]]
+                | jnp.where(fresh[:, j], bit[:, j], jnp.uint32(0)))
+
+        new_ids = jnp.where(fresh, nbrs, -1).astype(jnp.int64)
+        new_d = jnp.where(fresh, dists(new_ids.astype(jnp.int32)), jnp.inf)
+
+        all_ids = jnp.concatenate([pool_ids, new_ids], axis=1)
+        all_d = jnp.concatenate([pool_d, new_d], axis=1)
+        all_exp = jnp.concatenate([pool_exp, jnp.zeros_like(fresh)], axis=1)
+        # host-parity tie-breaking: (distance, id) lexicographic
+        id_key = jnp.where(all_ids < 0, _I64_MAX, all_ids)
+        order = jnp.lexsort((id_key, all_d), axis=1)[:, :L]
+        pool_ids = jnp.take_along_axis(all_ids, order, axis=1)
+        pool_d = jnp.take_along_axis(all_d, order, axis=1)
+        pool_exp = jnp.take_along_axis(all_exp, order, axis=1)
+        return pool_ids, pool_d, pool_exp, visited, it + 1
+
+    pool_ids, pool_d, pool_exp, visited, it = jax.lax.while_loop(
+        cond, body, (pool_ids, pool_d, pool_exp, visited, jnp.int32(0)))
+    return pool_d[:, :k], pool_ids[:, :k], it
+
+
+def search_graph_device(graph, xb, xq, k: int, L: int = None, entry: int = 0,
+                        max_iters: int = 0):
+    """Drop-in device-resident counterpart of search_graph (host loop):
+    returns (D f32[nq, k], I i64[nq, k]). ``graph`` is any adjacency
+    container; ``max_iters`` caps the while_loop (0 → a safe default of
+    4 * L + 32 expansions per query)."""
+    xq = np.asarray(xq, np.float32)
+    L = max(L or 2 * k, k)
+    max_iters = max_iters or (4 * L + 32)
+    tree, fetch, K = provider_for(graph)
+    D, I, _ = _search(fetch, tree, jnp.asarray(np.asarray(xb, np.float32)),
+                      jnp.asarray(xq), K, k, L, max_iters, entry)
+    return np.asarray(D), np.asarray(I)
