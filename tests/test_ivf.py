@@ -123,3 +123,49 @@ def test_ivfpq_recall_and_compressed_equality(data):
     index.replace_invlists(comp)
     D_c, I_c = index.search(xq, K, nprobe=NLIST)
     np.testing.assert_array_equal(np.sort(I_c, axis=1), np.sort(I_ref, axis=1))
+
+
+def test_index_save_load(tmp_path):
+    """Whole-index persistence (save_index/load_index): identical search
+    results after a round trip, for flat and qinco storage."""
+    import numpy as np
+    from vector_db_id_compression_tpu.models.qinco import QincoCodec
+    from vector_db_id_compression_tpu.search.ivf import (
+        IndexIVF,
+        load_index,
+        save_index,
+    )
+    from vector_db_id_compression_tpu.store.invlists import RocInvertedLists
+
+    rng = np.random.default_rng(17)
+    xb = rng.normal(size=(2000, 8)).astype(np.float32)
+    xq = rng.normal(size=(15, 8)).astype(np.float32)
+
+    for storage in ("flat", "qinco"):
+        kwargs = {}
+        if storage == "qinco":
+            kwargs["qinco"] = QincoCodec(8, 2, ksub=16, hidden=16)
+        index = IndexIVF(8, 8, storage=storage, nprobe=4, **kwargs)
+        index.train(xb[:800], niter=5, qinco_steps=40)
+        index.add(xb)
+        D1, I1 = index.search(xq, 5)
+        p = tmp_path / f"idx_{storage}.npz"
+        save_index(p, index)
+        index2 = load_index(p)
+        D2, I2 = index2.search(xq, 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5)
+        # compressed container swap still works on the loaded index; exact
+        # set equality only on flat storage (quantized qinco distances can
+        # tie at the boundary, and ROC reorders within lists)
+        index2.replace_invlists(RocInvertedLists(index2.invlists))
+        D3, I3 = index2.search_defer_id_decoding(xq, 5, decode_1by1=False)
+        if storage == "flat":
+            np.testing.assert_array_equal(np.sort(I2, axis=1),
+                                          np.sort(I3, axis=1))
+        else:
+            overlap = np.mean([
+                len(np.intersect1d(I2[q], I3[q])) / I2.shape[1]
+                for q in range(len(I2))
+            ])
+            assert overlap >= 0.8, overlap

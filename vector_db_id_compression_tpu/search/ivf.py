@@ -480,3 +480,88 @@ class IndexIVF:
                 pos = self.coarse_code_size
             out[i, pos:] = c
         return out.reshape(*labels.shape, cs1)
+
+
+# ---------------------------------------------------------------------------
+# whole-index persistence (the faiss.write_index/read_index analogue —
+# search_ivf_qinco.py:475-499; the reference has no format for the compressed
+# containers, store/serialize.py provides that part)
+# ---------------------------------------------------------------------------
+
+
+def save_index(path, index: IndexIVF) -> None:
+    """One .npz holding the trained index + source inverted lists. Compressed
+    ID containers are saved separately (store.serialize.save_invlists) and
+    swapped in after load with replace_invlists."""
+    import json
+
+    il = index.invlists
+    assert il is not None, "index has no inverted lists (add() first)"
+    lengths = il.lengths
+    ids_flat = (np.concatenate([il.ids[i] for i in range(il.nlist)])
+                if lengths.sum() else np.zeros(0, np.uint64))
+    codes_flat = (np.concatenate([il.codes[i] for i in range(il.nlist)])
+                  if lengths.sum() else np.zeros(0, np.uint8))
+    meta = dict(d=index.d, nlist=index.nlist, storage=index.storage,
+                nprobe=index.nprobe, ntotal=index.ntotal,
+                code_size=index.code_size)
+    arrs = dict(
+        centroids=index.centroids,
+        lengths=lengths,
+        ids_flat=ids_flat,
+        codes_flat=codes_flat,
+        meta=np.array(json.dumps(meta)),
+    )
+    if index.storage == "pq":
+        arrs["pq_centroids"] = index.pq.centroids
+        arrs["pq_meta"] = np.array([index.pq.M], dtype=np.int64)
+    elif index.storage == "qinco":
+        q = index.qinco
+        arrs["qinco_meta"] = np.array([q.d, q.M, q.ksub,
+                                       q.model.hidden], dtype=np.int64)
+        leaves = jax.tree_util.tree_leaves(q.params)
+        for i, leaf in enumerate(leaves):
+            arrs[f"qinco_leaf{i}"] = np.asarray(leaf)
+    np.savez(path, **arrs)
+
+
+def load_index(path) -> IndexIVF:
+    import json
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    storage = meta["storage"]
+    kwargs = {}
+    if storage == "pq":
+        kwargs["pq_m"] = int(z["pq_meta"][0])
+    elif storage == "qinco":
+        from ..models.qinco import QincoCodec
+
+        d, M, ksub, hidden = (int(v) for v in z["qinco_meta"])
+        qc = QincoCodec(d, M, ksub=ksub, hidden=hidden)
+        # same model config => same treedef; unflatten the saved leaves
+        sample = jnp.zeros((1, d), jnp.float32)
+        ref = qc.model.init(jax.random.PRNGKey(0), sample)
+        treedef = jax.tree_util.tree_structure(ref)
+        n_leaves = treedef.num_leaves
+        leaves = [jnp.asarray(z[f"qinco_leaf{i}"]) for i in range(n_leaves)]
+        qc.params = jax.tree_util.tree_unflatten(treedef, leaves)
+        kwargs["qinco"] = qc
+    index = IndexIVF(meta["d"], meta["nlist"], storage=storage,
+                     nprobe=meta["nprobe"], **kwargs)
+    index.centroids = z["centroids"]
+    if storage == "pq":
+        index.pq.centroids = z["pq_centroids"]
+    lengths = z["lengths"]
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    cs = meta["code_size"]
+    il = InvertedLists(meta["nlist"], cs)
+    for ln in range(meta["nlist"]):
+        b, e = offsets[ln], offsets[ln + 1]
+        il.add_entries(ln, z["ids_flat"][b:e],
+                       z["codes_flat"][b * cs:e * cs])
+    index.invlists = il
+    index.ntotal = meta["ntotal"]
+    index.replace_invlists(il)
+    return index
