@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import pickle
 import sys
 import time
 from pathlib import Path
@@ -34,9 +33,10 @@ import numpy as np
 
 from ..models.qinco import QincoCodec
 from ..search.ivf import IndexIVF
+from ..search.ivf import load_index as _load_index
+from ..search.ivf import save_index as _save_index
 from ..store.invlists import (
     EliasFanoInvertedLists,
-    InvertedLists,
     PackedBitsInvertedLists,
     RocInvertedLists,
     WaveletTreeInvertedLists,
@@ -52,12 +52,8 @@ COMPRESSIONS = {
 }
 
 
-def _model_path(workdir: Path) -> Path:
-    return workdir / "qinco_index.pkl"
-
-
-def _lists_path(workdir: Path) -> Path:
-    return workdir / "invlists.pkl"
+def _index_path(workdir: Path) -> Path:
+    return workdir / "qinco_index.npz"
 
 
 def run_train(ds, args, workdir: Path) -> IndexIVF:
@@ -68,22 +64,12 @@ def run_train(ds, args, workdir: Path) -> IndexIVF:
     t0 = time.time()
     index.train(xt, niter=args.kmeans_niter, qinco_steps=args.qinco_steps)
     print(f"[train] done in {time.time()-t0:.1f}s", flush=True)
-    with open(_model_path(workdir), "wb") as f:
-        pickle.dump(dict(centroids=index.centroids, params=qinco.params,
-                         d=ds.d, nlist=args.nlist, M=args.M, ksub=args.ksub,
-                         hidden=args.hidden), f)
+    _save_index(_index_path(workdir), index)
     return index
 
 
 def load_index(args, workdir: Path) -> IndexIVF:
-    with open(_model_path(workdir), "rb") as f:
-        blob = pickle.load(f)
-    qinco = QincoCodec(blob["d"], blob["M"], ksub=blob["ksub"],
-                       hidden=blob["hidden"])
-    qinco.params = blob["params"]
-    index = IndexIVF(blob["d"], blob["nlist"], storage="qinco", qinco=qinco)
-    index.centroids = blob["centroids"]
-    return index
+    return _load_index(_index_path(workdir))
 
 
 def run_add(ds, args, workdir: Path):
@@ -91,26 +77,11 @@ def run_add(ds, args, workdir: Path):
     t0 = time.time()
     index.add(ds.get_database())
     print(f"[add] {index.ntotal} vectors in {time.time()-t0:.1f}s", flush=True)
-    il = index.invlists
-    with open(_lists_path(workdir), "wb") as f:
-        pickle.dump(dict(ids=il.ids, codes=il.codes, nlist=il.nlist,
-                         code_size=il.code_size, ntotal=index.ntotal), f)
-
-
-def load_lists(index: IndexIVF, workdir: Path):
-    with open(_lists_path(workdir), "rb") as f:
-        blob = pickle.load(f)
-    il = InvertedLists(blob["nlist"], blob["code_size"])
-    for ln in range(blob["nlist"]):
-        il.add_entries(ln, blob["ids"][ln], blob["codes"][ln])
-    index.invlists = il
-    index.ntotal = blob["ntotal"]
-    index.replace_invlists(il)
+    _save_index(_index_path(workdir), index)
 
 
 def run_search(ds, args, workdir: Path):
     index = load_index(args, workdir)
-    load_lists(index, workdir)
     source = index.invlists
 
     # swap in the requested ID compression (reference :502-524)

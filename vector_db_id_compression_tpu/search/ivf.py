@@ -496,7 +496,8 @@ def save_index(path, index: IndexIVF) -> None:
     import json
 
     il = index.invlists
-    assert il is not None, "index has no inverted lists (add() first)"
+    if il is None:  # trained-only index (the reference also writes these,
+        il = InvertedLists(index.nlist, index.code_size)  # :475-476)
     lengths = il.lengths
     ids_flat = (np.concatenate([il.ids[i] for i in range(il.nlist)])
                 if lengths.sum() else np.zeros(0, np.uint64))
@@ -561,7 +562,8 @@ def load_index(path) -> IndexIVF:
         b, e = offsets[ln], offsets[ln + 1]
         il.add_entries(ln, z["ids_flat"][b:e],
                        z["codes_flat"][b * cs:e * cs])
-    index.invlists = il
     index.ntotal = meta["ntotal"]
-    index.replace_invlists(il)
+    if index.ntotal > 0:
+        index.invlists = il
+        index.replace_invlists(il)
     return index
