@@ -29,22 +29,7 @@ from typing import Dict, List
 import numpy as np
 
 from ..search.ivf import IndexIVF
-from ..store.invlists import (
-    EliasFanoInvertedLists,
-    PackedBitsInvertedLists,
-    RocInvertedLists,
-    WaveletTreeInvertedLists,
-)
-
-# method → container factory; parity with AVAILABLE_COMPRESSED_IVFS
-# (reference bench_invlists.py:19-25), plus wavelet-tree-1 (RRR-compressed)
-AVAILABLE_COMPRESSED_IVFS = {
-    "packed-bits": PackedBitsInvertedLists,
-    "roc": RocInvertedLists,
-    "elias-fano": EliasFanoInvertedLists,
-    "wavelet-tree": lambda il: WaveletTreeInvertedLists(il, wt_type=0),
-    "wavelet-tree-1": lambda il: WaveletTreeInvertedLists(il, wt_type=1),
-}
+from ..store.invlists import AVAILABLE_COMPRESSED_IVFS
 
 METHODS = ["ref", "packed-bits", "elias-fano", "roc", "wavelet-tree",
            "wavelet-tree-1"]

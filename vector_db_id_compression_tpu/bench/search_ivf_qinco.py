@@ -35,21 +35,9 @@ from ..models.qinco import QincoCodec
 from ..search.ivf import IndexIVF
 from ..search.ivf import load_index as _load_index
 from ..search.ivf import save_index as _save_index
-from ..store.invlists import (
-    EliasFanoInvertedLists,
-    PackedBitsInvertedLists,
-    RocInvertedLists,
-    WaveletTreeInvertedLists,
-)
+from ..store.invlists import AVAILABLE_COMPRESSED_IVFS
 
-COMPRESSIONS = {
-    "none": None,
-    "packed-bits": PackedBitsInvertedLists,
-    "elias-fano": EliasFanoInvertedLists,
-    "roc": RocInvertedLists,
-    "wavelet-tree": lambda il: WaveletTreeInvertedLists(il, wt_type=0),
-    "wavelet-tree-1": lambda il: WaveletTreeInvertedLists(il, wt_type=1),
-}
+COMPRESSIONS = {"none": None, **AVAILABLE_COMPRESSED_IVFS}
 
 
 def _index_path(workdir: Path) -> Path:

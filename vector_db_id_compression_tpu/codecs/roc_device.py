@@ -34,7 +34,7 @@ State-array layout per batch of B lists (static shapes; pad + mask):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -73,8 +73,12 @@ def fresh_states(batch: int, cap: int) -> RocStates:
     )
 
 
+@lru_cache(maxsize=64)
 def default_pool(n_max: int) -> jnp.ndarray:
-    """MT19937(1234) pool sized for encode+decode of lists up to n_max."""
+    """MT19937(1234) pool sized for encode+decode of lists up to n_max.
+    Cached — decode hot paths (grouped ID translation, graph neighbor
+    fetches) call this per batch, and regenerating + re-uploading the pool
+    each time is pure waste."""
     return jnp.asarray(mt19937_pool(count=n_max + 64))
 
 
@@ -347,3 +351,64 @@ def pack_states(states: RocStates, lengths) -> list[dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# ragged-batch encode front door (native C++ when available, else XLA scan)
+# ---------------------------------------------------------------------------
+
+
+def native_encode_enabled() -> bool:
+    import os
+
+    from .. import native
+
+    return (native.available()
+            and os.environ.get("VDBIDC_NATIVE_ENCODE", "1") == "1")
+
+
+def encode_ragged(lists, precisions, n_pad: int, cap: int,
+                  use_native=None):
+    """Encode a ragged batch of distinct-id lists → (RocStates, orders).
+
+    ``orders[i]`` is the sampling-order permutation into the i-th ORIGINAL
+    list (what payload codes must be reordered by). Dispatches to the native
+    C++ batch encoder when available (bit-exact with the device encoder —
+    tests/test_native.py), else the lists-as-lanes XLA scan encoder. This is
+    the one shared path behind RocInvertedLists / InterleavedRocInvertedLists
+    / RocGraph construction."""
+    B = len(lists)
+    prec = np.asarray(precisions, dtype=np.int32)
+    if use_native is None:
+        use_native = native_encode_enabled()
+    if use_native:
+        from .. import native
+
+        heads, stacks, lens, orders, mt = native.roc_encode_lists(
+            lists, prec, cap=cap)
+        states = RocStates(
+            head=jnp.asarray(heads), stack=jnp.asarray(stacks),
+            stack_len=jnp.asarray(lens),
+            mt_ctr=jnp.asarray(mt.astype(np.int32)),
+            err=jnp.zeros(B, dtype=bool),
+        )
+        return states, orders
+
+    lengths = np.array([len(v) for v in lists], dtype=np.int32)
+    sorted_ids = np.zeros((B, n_pad), dtype=np.uint64)
+    perms = []
+    for i, v in enumerate(lists):
+        v = np.asarray(v, np.uint64)
+        perm = np.argsort(v, kind="stable")
+        perms.append(perm)
+        sorted_ids[i, : len(v)] = v[perm]
+    states, order = roc_encode_batch(
+        jnp.asarray(sorted_ids), jnp.asarray(lengths), jnp.asarray(prec),
+        default_pool(n_pad), fresh_states(B, cap),
+        n_slices_for(int(prec.max(initial=1))))
+    if bool(np.asarray(states.err).any()):
+        raise RuntimeError("MT19937 pool exhausted / stack overflow in "
+                           "ROC encode")
+    order_np = np.asarray(order)
+    orders = [perms[i][order_np[i, : len(lists[i])]] for i in range(B)]
+    return states, orders

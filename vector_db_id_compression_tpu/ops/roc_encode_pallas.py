@@ -298,7 +298,7 @@ class RocPallasEncoder:
             interpret, pool)
         states = rd.RocStates(
             head=head[:B0], stack=stack[:B0], stack_len=stack_len[:B0],
-            mt_ctr=mt_ctr[:B0], err=jnp.broadcast_to(err[:B0], (B0,)),
+            mt_ctr=mt_ctr[:B0], err=err[:B0],
         )
         return states, order[:B0], not bool(err[:B0].any())
 

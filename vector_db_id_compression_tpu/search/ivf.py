@@ -65,6 +65,20 @@ def _coarse_topk(xq, centroids, nprobe):
     return -neg + x2, idx
 
 
+def _masked_topk(d2, valid_len, k: int):
+    """Shared scan tail: mask padded slots, top-k smallest, +inf padding when
+    the bucket is narrower than k."""
+    n_pad = d2.shape[1]
+    mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= valid_len[:, None]
+    d2 = jnp.where(mask, jnp.inf, d2)
+    kk = min(k, n_pad)
+    neg, offs = jax.lax.top_k(-d2, kk)
+    if kk < k:
+        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        offs = jnp.pad(offs, ((0, 0), (0, k - kk)), constant_values=0)
+    return -neg, offs
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _scan_flat_bucket(xq, vecs, lengths, pairs, k):
     """pairs = (q_idx i32[P], lane i32[P]); vecs f32[B, n_pad, d].
@@ -75,15 +89,7 @@ def _scan_flat_bucket(xq, vecs, lengths, pairs, k):
     dots = jnp.einsum("pd,pnd->pn", X, Y, preferred_element_type=jnp.float32)
     y2 = jnp.sum(Y * Y, axis=2)
     d2 = y2 - 2.0 * dots               # + ||x||^2 added by caller at merge
-    n_pad = Y.shape[1]
-    mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= lengths[lane][:, None]
-    d2 = jnp.where(mask, jnp.inf, d2)
-    kk = min(k, n_pad)
-    neg, offs = jax.lax.top_k(-d2, kk)
-    if kk < k:
-        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        offs = jnp.pad(offs, ((0, 0), (0, k - kk)), constant_values=0)
-    return -neg, offs
+    return _masked_topk(d2, lengths[lane], k)
 
 
 @partial(jax.jit, static_argnums=(6,))
@@ -106,15 +112,7 @@ def _scan_aq_bucket(q_luts, cent_luts, codes, norms, lengths, pairs, k):
     idx_t = jnp.swapaxes(idx, 1, 2)                # [P, M, n_pad]
     gathered = jnp.take_along_axis(lut_p, idx_t, axis=2)
     d2 = jnp.sum(gathered, axis=1) + norms[lane] + base[:, None]
-    n_pad = d2.shape[1]
-    mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= lengths[lane][:, None]
-    d2 = jnp.where(mask, jnp.inf, d2)
-    kk = min(k, n_pad)
-    neg, offs = jax.lax.top_k(-d2, kk)
-    if kk < k:
-        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        offs = jnp.pad(offs, ((0, 0), (0, k - kk)), constant_values=0)
-    return -neg, offs
+    return _masked_topk(d2, lengths[lane], k)
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -126,15 +124,7 @@ def _scan_pq_bucket(luts, codes, lengths, pairs, k):
     idx_t = jnp.swapaxes(idx, 1, 2)                # [P, M, n_pad]
     gathered = jnp.take_along_axis(lut_p, idx_t, axis=2)  # [P, M, n_pad]
     d2 = jnp.sum(gathered, axis=1)                 # [P, n_pad]
-    n_pad = d2.shape[1]
-    mask = jnp.arange(n_pad, dtype=jnp.int32)[None, :] >= lengths[lane][:, None]
-    d2 = jnp.where(mask, jnp.inf, d2)
-    kk = min(k, n_pad)
-    neg, offs = jax.lax.top_k(-d2, kk)
-    if kk < k:
-        neg = jnp.pad(neg, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-        offs = jnp.pad(offs, ((0, 0), (0, k - kk)), constant_values=0)
-    return -neg, offs
+    return _masked_topk(d2, lengths[lane], k)
 
 
 @jax.jit

@@ -26,7 +26,6 @@ Size accounting matches the reference formulas:
 from __future__ import annotations
 
 import math
-import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -174,37 +173,12 @@ class RocGraph(CompressedGraph):
         maxp = int(prec.max()) if self.N else 1
         self._n_slices = rd.n_slices_for(maxp)
         cap = rd.stack_capacity(self.K, maxp)
-        from .. import native
-
-        if native.available() and os.environ.get(
-                "VDBIDC_NATIVE_ENCODE", "1") == "1":
-            # native C++ batch encoder (threaded, bit-exact with the device
-            # encoder); zero-degree lanes keep the fresh state
-            lists = [sorted_nb[i, : self.degrees[i]] for i in range(self.N)]
-            heads, stacks_np, lens, _, mt = native.roc_encode_lists(
-                lists, prec, cap=cap)
-            states = rd.RocStates(
-                head=jnp.asarray(heads),
-                stack=jnp.asarray(stacks_np),
-                stack_len=jnp.asarray(lens),
-                mt_ctr=jnp.asarray(mt.astype(np.int32)),
-                err=jnp.zeros(self.N, dtype=bool),
-            )
-        else:
-            pool = rd.default_pool(self.K)
-            # lanes with zero degree stay at the fresh state (reference skips
-            # them)
-            states, _ = rd.roc_encode_batch(
-                jnp.asarray(sorted_nb),
-                jnp.asarray(self.degrees),
-                jnp.asarray(prec),
-                pool,
-                rd.fresh_states(self.N, cap),
-                self._n_slices,
-            )
-            if bool(np.asarray(states.err).any()):
-                raise RuntimeError(
-                    "MT19937 pool exhausted during graph ROC encode")
+        # shared ragged front door (codecs/roc_device.py encode_ragged);
+        # zero-degree lanes keep the fresh state; sampling order is
+        # irrelevant for graphs (no payload codes to co-reorder)
+        states, _ = rd.encode_ragged(
+            [sorted_nb[i, : self.degrees[i]] for i in range(self.N)],
+            prec, self.K, cap)
         self._states = states
         self._prec_dev = jnp.asarray(prec)
         sizes = np.asarray(states.size_bytes)

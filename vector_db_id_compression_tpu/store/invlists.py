@@ -228,13 +228,8 @@ class RocInvertedLists(CompressedInvertedLists):
 
     def __init__(self, il: InvertedLists, use_native: Optional[bool] = None):
         super().__init__(il)
-        from .. import native
-
         if use_native is None:
-            use_native = (
-                native.available()
-                and os.environ.get("VDBIDC_NATIVE_ENCODE", "1") == "1"
-            )
+            use_native = rd.native_encode_enabled()
         self.codes_all = [np.empty(0, np.uint8)] * il.nlist
         self._buckets = bucketize(self._lengths)
         self._states: List[rd.RocStates] = []
@@ -279,39 +274,12 @@ class RocInvertedLists(CompressedInvertedLists):
                     perms[lane][order_np[lane, : int(bucket.lengths[lane])]]
                     for lane in range(B)
                 ]
-            elif use_native:
-                # native C++ batch encoder (threaded, bit-exact with the
-                # device encoder — tests/test_native.py); returns the
-                # sampling-order permutation directly in original index space
-                heads, stacks_np, lens, orders, mt = native.roc_encode_lists(
-                    [il.ids[ln] for ln in bucket.list_ids], prec, cap=cap)
-                states = rd.RocStates(
-                    head=jnp.asarray(heads),
-                    stack=jnp.asarray(stacks_np),
-                    stack_len=jnp.asarray(lens),
-                    mt_ctr=jnp.asarray(mt.astype(np.int32)),
-                    err=jnp.zeros(B, dtype=bool),
-                )
-                orig_orders = orders
             else:
-                pool = rd.default_pool(n_pad)
-                states, order = rd.roc_encode_batch(
-                    jnp.asarray(sorted_ids),
-                    jnp.asarray(bucket.lengths),
-                    jnp.asarray(prec),
-                    pool,
-                    rd.fresh_states(B, cap),
-                    rd.n_slices_for(maxp),
-                )
-                if bool(np.asarray(states.err).any()):
-                    raise RuntimeError("MT19937 pool exhausted during ROC encode")
-                order_np = np.asarray(order)
-                # device order is in sorted space: original index =
-                # perms[order[i]]
-                orig_orders = [
-                    perms[lane][order_np[lane, : int(bucket.lengths[lane])]]
-                    for lane in range(B)
-                ]
+                # shared ragged front door: native C++ when available, else
+                # the XLA scan encoder (codecs/roc_device.py encode_ragged)
+                states, orig_orders = rd.encode_ragged(
+                    [il.ids[ln] for ln in bucket.list_ids], prec, n_pad, cap,
+                    use_native=use_native)
             for lane, ln in enumerate(bucket.list_ids):
                 # payload codes reordered to sampling order
                 self.codes_all[ln] = _reorder_codes(
@@ -534,12 +502,9 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
     def __init__(self, il: InvertedLists, interleave: int = 4,
                  interleave_min: int = 4096):
         super().__init__(il)
-        from .. import native
         from ..codecs.roc_interleaved import partition_sizes
 
         assert interleave >= 1
-        use_native = (native.available()
-                      and os.environ.get("VDBIDC_NATIVE_ENCODE", "1") == "1")
         self.interleave = interleave
         self.codes_all = [np.empty(0, np.uint8)] * il.nlist
         self.id_symbol_precision = np.zeros(il.nlist, dtype=np.int64)
@@ -588,30 +553,9 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
             prec = np.array([entries[int(e)][4] for e in bucket.list_ids],
                             np.int32)
             cap = rd.stack_capacity(n_pad, int(prec.max()))
-            if use_native:
-                heads, stacks_np, lens, orders, mt = native.roc_encode_lists(
-                    [entries[int(e)][2] for e in bucket.list_ids], prec,
-                    cap=cap)
-                states = rd.RocStates(
-                    head=jnp.asarray(heads), stack=jnp.asarray(stacks_np),
-                    stack_len=jnp.asarray(lens),
-                    mt_ctr=jnp.asarray(mt.astype(np.int32)),
-                    err=jnp.zeros(B, dtype=bool))
-                chunk_orders = orders
-            else:
-                sorted_ids = np.zeros((B, n_pad), dtype=np.uint64)
-                for lane, e in enumerate(bucket.list_ids):
-                    r = entries[int(e)][2]
-                    sorted_ids[lane, : len(r)] = r
-                states, order = rd.roc_encode_batch(
-                    jnp.asarray(sorted_ids), jnp.asarray(bucket.lengths),
-                    jnp.asarray(prec), rd.default_pool(n_pad),
-                    rd.fresh_states(B, cap), rd.n_slices_for(int(prec.max())))
-                if bool(np.asarray(states.err).any()):
-                    raise RuntimeError("ROC encode overflow")
-                order_np = np.asarray(order)
-                chunk_orders = [order_np[lane, : int(bucket.lengths[lane])]
-                                for lane in range(B)]
+            states, chunk_orders = rd.encode_ragged(
+                [entries[int(e)][2] for e in bucket.list_ids], prec, n_pad,
+                cap)
             for lane, e in enumerate(bucket.list_ids):
                 ln, s, rebased, lo, p, orig_base = entries[int(e)]
                 order_of[int(e)] = orig_base[chunk_orders[lane]]
@@ -670,3 +614,16 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
             vals = np.concatenate([decoded[e] for e in keys])
             out[q, : len(vals)] = vals
         return out, lens
+
+
+# method-name → container factory, the one registry behind the experiment
+# drivers (parity with AVAILABLE_COMPRESSED_IVFS, reference
+# bench_invlists.py:19-25, plus the RRR and interleaved variants)
+AVAILABLE_COMPRESSED_IVFS = {
+    "packed-bits": PackedBitsInvertedLists,
+    "roc": RocInvertedLists,
+    "elias-fano": EliasFanoInvertedLists,
+    "wavelet-tree": lambda il: WaveletTreeInvertedLists(il, wt_type=0),
+    "wavelet-tree-1": lambda il: WaveletTreeInvertedLists(il, wt_type=1),
+    "roc-interleaved": InterleavedRocInvertedLists,
+}

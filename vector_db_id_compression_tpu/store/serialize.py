@@ -65,10 +65,11 @@ def _codes_from_flat(flat, offsets):
 
 def save_invlists(path: Union[str, Path], c: CompressedInvertedLists) -> None:
     kind = _KIND[type(c)]
+    codes_flat, codes_offsets = _codes_to_flat(c.codes_all)
     arrs = {
         "lengths": c._lengths,
-        "codes_flat": _codes_to_flat(c.codes_all)[0],
-        "codes_offsets": _codes_to_flat(c.codes_all)[1],
+        "codes_flat": codes_flat,
+        "codes_offsets": codes_offsets,
         "sizes": np.array(
             [c.compressed_ids_size_in_bytes, c.overhead_in_bytes, c.nlist,
              c.code_size], dtype=np.int64,

@@ -15,16 +15,20 @@ from typing import Union
 import numpy as np
 
 
+def _crc_of_arrays(arrays: dict) -> int:
+    crc = 0
+    for key in sorted(arrays):
+        if key == "checksum":
+            continue
+        arr = np.ascontiguousarray(arrays[key])
+        crc ^= zlib.crc32(key.encode() + b"\0" + arr.tobytes())
+    return crc
+
+
 def artifact_checksum(path: Union[str, Path]) -> int:
     """Order-independent CRC32 over all non-meta arrays in an npz artifact."""
     z = np.load(path, allow_pickle=False)
-    crc = 0
-    for key in sorted(z.files):
-        if key == "checksum":
-            continue
-        arr = np.ascontiguousarray(z[key])
-        crc ^= zlib.crc32(key.encode() + b"\0" + arr.tobytes())
-    return crc
+    return _crc_of_arrays({k: z[k] for k in z.files})
 
 
 def stamp_artifact(path: Union[str, Path]) -> int:
@@ -32,10 +36,7 @@ def stamp_artifact(path: Union[str, Path]) -> int:
     path = Path(path)
     z = dict(np.load(path, allow_pickle=False))
     z.pop("checksum", None)
-    crc = 0
-    for key in sorted(z):
-        arr = np.ascontiguousarray(z[key])
-        crc ^= zlib.crc32(key.encode() + b"\0" + arr.tobytes())
+    crc = _crc_of_arrays(z)
     np.savez(path, **z, checksum=np.array([crc], dtype=np.uint32))
     return crc
 
