@@ -450,11 +450,19 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
             self.overhead_in_bytes = self.wt.index_bits // 8
 
     def _select(self, sym, offs):
-        if self.wt_type == 0:
-            return wt_select(self.wt, sym, offs)
-        from ..codecs.wavelet_tree import wt_select_rrr
+        # jit the whole multi-level walk once per container: eagerly it is
+        # ~70 sequential small dispatches (u64-heavy for RRR), which
+        # dominates on dispatch-latency-bound rigs
+        fn = self.__dict__.get("_select_jit")
+        if fn is None:
+            if self.wt_type == 0:
+                fn = jax.jit(lambda sy, of: wt_select(self.wt, sy, of))
+            else:
+                from ..codecs.wavelet_tree import wt_select_rrr
 
-        return wt_select_rrr(self.wt, sym, offs)
+                fn = jax.jit(lambda sy, of: wt_select_rrr(self.wt, sy, of))
+            self.__dict__["_select_jit"] = fn
+        return fn(sym, offs)
 
     def decode_lists(self, list_nos):
         list_nos = np.asarray(list_nos, dtype=np.int64)
