@@ -132,6 +132,7 @@ _I64_MAX = np.iinfo(np.int64).max
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _search(fetch, tree, xb, xq, K, k, L, max_iters, entry):
+    # entry: i32[nq] per-query entry nodes
     nq, d = xq.shape
     N = xb.shape[0]
     NW = (N + 31) // 32
@@ -146,13 +147,13 @@ def _search(fetch, tree, xb, xq, K, k, L, max_iters, entry):
     pool_exp = jnp.zeros((nq, L), dtype=bool)
     visited = jnp.zeros((nq, NW), dtype=jnp.uint32)
 
-    e = jnp.full((nq, 1), entry, jnp.int32)
-    d0 = dists(e)[:, 0]
-    pool_ids = pool_ids.at[:, 0].set(entry)
-    pool_d = pool_d.at[:, 0].set(d0)
-    visited = visited.at[:, entry // 32].set(jnp.uint32(1) << (entry % 32))
-
     rows = jnp.arange(nq)
+    e = entry.astype(jnp.int32)                  # i32[nq] per-query entries
+    d0 = dists(e[:, None])[:, 0]
+    pool_ids = pool_ids.at[:, 0].set(e.astype(jnp.int64))
+    pool_d = pool_d.at[:, 0].set(d0)
+    visited = visited.at[rows, e // 32].set(
+        jnp.uint32(1) << (e % 32).astype(jnp.uint32))
 
     def cond(carry):
         pool_ids, pool_d, pool_exp, visited, it = carry
@@ -205,16 +206,19 @@ def _search(fetch, tree, xb, xq, K, k, L, max_iters, entry):
     return pool_d[:, :k], pool_ids[:, :k], it
 
 
-def search_graph_device(graph, xb, xq, k: int, L: int = None, entry: int = 0,
+def search_graph_device(graph, xb, xq, k: int, L: int = None, entry=0,
                         max_iters: int = 0):
     """Drop-in device-resident counterpart of search_graph (host loop):
     returns (D f32[nq, k], I i64[nq, k]). ``graph`` is any adjacency
-    container; ``max_iters`` caps the while_loop (0 → a safe default of
-    4 * L + 32 expansions per query)."""
+    container; ``entry`` is one node or a per-query i32[nq] vector (the HNSW
+    descent hands every query its own level-0 entry); ``max_iters`` caps the
+    while_loop (0 → a safe default of 4 * L + 32 expansions per query)."""
     xq = np.asarray(xq, np.float32)
     L = max(L or 2 * k, k)
     max_iters = max_iters or (4 * L + 32)
     tree, fetch, K = provider_for(graph)
+    entries = jnp.asarray(
+        np.broadcast_to(np.asarray(entry, np.int32), (len(xq),)))
     D, I, _ = _search(fetch, tree, jnp.asarray(np.asarray(xb, np.float32)),
-                      jnp.asarray(xq), K, k, L, max_iters, entry)
+                      jnp.asarray(xq), K, k, L, max_iters, entries)
     return np.asarray(D), np.asarray(I)

@@ -242,20 +242,12 @@ class HNSW:
         finally:
             self._xb = orig_xb
         g0 = graph0 if graph0 is not None else self.level0_graph()
-        # per-query entry points: the walkers take one entry; run per unique
-        # entry group (typically few after the descent). Level 0 uses the
-        # fully-jitted device traversal (search/graph_device.py) — identical
-        # results to the host loop, one dispatch per group.
+        # one fully-jitted device traversal with per-query entry points
+        # (search/graph_device.py) — identical results to the host loop
         from .graph_device import search_graph_device
 
-        D = np.full((len(xq), k), np.inf, dtype=np.float32)
-        I = np.full((len(xq), k), -1, dtype=np.int64)
-        for e in np.unique(cur):
-            qsub = np.flatnonzero(cur == e)
-            d, i = search_graph_device(g0, orig_xb, xq[qsub], k,
-                                       L=ef or 2 * k, entry=int(e))
-            D[qsub], I[qsub] = d, i
-        return D, I
+        return search_graph_device(g0, orig_xb, xq, k, L=ef or 2 * k,
+                                   entry=cur.astype(np.int32))
 
 
 def get_level0_links(index: HNSW, vno: int) -> np.ndarray:
