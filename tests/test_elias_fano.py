@@ -75,3 +75,78 @@ def test_empty_list():
     decoded = np.asarray(ef_decode_all(batch, 2))
     np.testing.assert_array_equal(decoded[0], [0, 0])
     np.testing.assert_array_equal(decoded[1], [5, 9])
+
+
+def test_secondary_ops_vs_oracle():
+    """rank / predecessor1 / successor1 / delta / select_range vs a numpy
+    oracle (reference elias_fano.hpp:147-208 semantics)."""
+    from vector_db_id_compression_tpu.codecs.elias_fano import (
+        ef_delta,
+        ef_predecessor1,
+        ef_rank,
+        ef_select_range,
+        ef_successor1,
+    )
+
+    rng = np.random.default_rng(7)
+    lists = [
+        _rand_sorted(rng, 300, 10**6),
+        _rand_sorted(rng, 17, 50),
+        np.arange(40, dtype=np.uint64) * 3,          # dense, duplicatable gaps
+        _rand_sorted(rng, 1000, 2000),               # very dense
+    ]
+    batch = batch_ef_lists([ef_encode_list(v) for v in lists])
+
+    lanes, poss, want_rank = [], [], []
+    for b, v in enumerate(lists):
+        # probe member values, gaps, 0, past-the-end
+        probes = np.unique(np.concatenate([
+            v[:5], v[:5] + 1, rng.integers(0, int(v[-1]) + 2, 20).astype(np.uint64),
+            np.array([0, int(v[-1]) + 1], dtype=np.uint64)]))
+        for p in probes:
+            lanes.append(b)
+            poss.append(int(p))
+            want_rank.append(int(np.searchsorted(v, p, side="left")))
+    lanes_j = jnp.asarray(lanes, jnp.int32)
+    poss_j = jnp.asarray(poss, jnp.int64)
+    got_rank = np.asarray(ef_rank(batch, lanes_j, poss_j))
+    np.testing.assert_array_equal(got_rank, want_rank)
+
+    # predecessor1 (largest <= pos) / successor1 (smallest >= pos): restrict
+    # probes to where they exist, as the reference's asserts require
+    pl, pp, want_pred = [], [], []
+    sl, sp, want_succ = [], [], []
+    for b, v in enumerate(lists):
+        for p in rng.integers(0, int(v[-1]) + 1, 25):
+            if (v <= p).any():
+                pl.append(b); pp.append(int(p)); want_pred.append(int(v[v <= p].max()))
+            if (v >= p).any():
+                sl.append(b); sp.append(int(p)); want_succ.append(int(v[v >= p].min()))
+    np.testing.assert_array_equal(
+        np.asarray(ef_predecessor1(batch, jnp.asarray(pl, jnp.int32),
+                                   jnp.asarray(pp, jnp.int64))), want_pred)
+    np.testing.assert_array_equal(
+        np.asarray(ef_successor1(batch, jnp.asarray(sl, jnp.int32),
+                                 jnp.asarray(sp, jnp.int64))), want_succ)
+
+    # delta: select(n) - select(n-1), select(0) at n=0
+    dl, dn, want_delta = [], [], []
+    for b, v in enumerate(lists):
+        for n in rng.choice(len(v), size=min(len(v), 15), replace=False):
+            dl.append(b); dn.append(int(n))
+            want_delta.append(int(v[n]) - (int(v[n - 1]) if n else 0)
+                              if n else int(v[0]))
+    np.testing.assert_array_equal(
+        np.asarray(ef_delta(batch, jnp.asarray(dl, jnp.int32),
+                            jnp.asarray(dn, jnp.int64))), want_delta)
+
+    # select_range: (select(n), select(n+1)), n+1 < m
+    rl, rn, want_a, want_b = [], [], [], []
+    for b, v in enumerate(lists):
+        for n in rng.choice(len(v) - 1, size=min(len(v) - 1, 10), replace=False):
+            rl.append(b); rn.append(int(n))
+            want_a.append(int(v[n])); want_b.append(int(v[n + 1]))
+    got_a, got_b = ef_select_range(batch, jnp.asarray(rl, jnp.int32),
+                                   jnp.asarray(rn, jnp.int64))
+    np.testing.assert_array_equal(np.asarray(got_a), want_a)
+    np.testing.assert_array_equal(np.asarray(got_b), want_b)

@@ -59,3 +59,35 @@ def test_compressed_level0_same_results(setup, container):
     D_c, I_c = hnsw.search(xq, K, ef=48, graph0=g0)
     np.testing.assert_array_equal(I_ref, I_c)
     np.testing.assert_allclose(D_ref, D_c, rtol=1e-5)
+
+
+def test_device_descent_matches_host(setup):
+    """The one-dispatch upper-layer descent (graph_device.hnsw_descend_device)
+    returns the same per-query level-0 entry points as the host greedy loop."""
+    import jax.numpy as jnp
+
+    from vector_db_id_compression_tpu.search.graph_device import (
+        hnsw_descend_device,
+    )
+
+    xb, xq, gt, hnsw = setup
+    got = hnsw_descend_device(hnsw, xq)
+
+    # host oracle: the round-1 _greedy_descend loop per level
+    inserted = np.ones(len(xb), dtype=bool)
+    cur = np.full(len(xq), hnsw.entry, dtype=np.int32)
+    orig = hnsw._xb
+    try:
+        hnsw._xb = xq
+        xb_dev = jnp.asarray(xb)
+        for l in range(hnsw.max_level, 0, -1):
+            cur = hnsw._greedy_descend(np.arange(len(xq)), xb_dev, cur, l,
+                                       inserted)
+    finally:
+        hnsw._xb = orig
+    np.testing.assert_array_equal(got, cur)
+
+
+def test_m_validation():
+    with pytest.raises(ValueError):
+        HNSW(M=1)

@@ -61,3 +61,32 @@ def test_artifact_byte_stable(tmp_path):
     save_invlists(p1, comp)
     save_invlists(p2, comp)
     assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_roundtrip_interleaved(tmp_path):
+    """roc-interleaved container (ADVICE r1: was missing from _KIND) —
+    exercise both the chunked (>= interleave_min) and single-stream paths."""
+    from vector_db_id_compression_tpu.store.invlists import (
+        InterleavedRocInvertedLists,
+    )
+
+    rng = np.random.default_rng(3)
+    il = InvertedLists(4, CODE_SIZE)
+    sizes = [700, 40, 0, 260]  # 700 >= interleave_min=128 → chunked
+    base = 0
+    for ln, n in enumerate(sizes):
+        ids = (rng.choice(10**6, size=n, replace=False).astype(np.uint64)
+               if n else np.empty(0, np.uint64))
+        il.add_entries(ln, ids,
+                       rng.integers(0, 256, n * CODE_SIZE).astype(np.uint8))
+        base += n
+    comp = InterleavedRocInvertedLists(il, interleave=4, interleave_min=128)
+    path = tmp_path / "inter.npz"
+    save_invlists(path, comp)
+    loaded = load_invlists(path)
+    assert type(loaded) is InterleavedRocInvertedLists
+    assert loaded.compressed_ids_size_in_bytes == comp.compressed_ids_size_in_bytes
+    assert loaded.overhead_in_bytes == comp.overhead_in_bytes
+    for ln in range(il.nlist):
+        np.testing.assert_array_equal(loaded.get_ids(ln), comp.get_ids(ln))
+        np.testing.assert_array_equal(loaded.get_codes(ln), comp.get_codes(ln))

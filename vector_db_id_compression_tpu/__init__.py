@@ -38,9 +38,15 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 # without this every CLI invocation recompiles from scratch. Only set when
 # the application hasn't configured one (a library must not clobber it).
 if _jax.config.jax_compilation_cache_dir is None:
+    # default to a per-user location: a world-shared /tmp dir collides on
+    # ownership/permissions between users on multi-user hosts
+    _default_cache = _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME",
+                        _os.path.expanduser("~/.cache")),
+        "vdbidc", "jax")
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.environ.get("VDBIDC_COMPILE_CACHE", "/tmp/jax_cache"),
+        _os.environ.get("VDBIDC_COMPILE_CACHE", _default_cache),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

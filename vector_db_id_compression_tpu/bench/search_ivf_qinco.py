@@ -68,6 +68,47 @@ def run_add(ds, args, workdir: Path):
     _save_index(_index_path(workdir), index)
 
 
+class OperatingPoints:
+    """Pareto frontier over (recall, time) with monotone-bounds pruning — the
+    faiss OperatingPointsWithRanges analogue the reference sweeps with
+    (search_ivf_qinco.py:221-246). Both recall and time are assumed monotone
+    nondecreasing in every parameter (nprobe, nshort)."""
+
+    def __init__(self, param_names):
+        self.param_names = list(param_names)
+        self.measured = []  # (param tuple, perf, time)
+
+    def _tuple(self, params):
+        return tuple(params[n] for n in self.param_names)
+
+    def add_operating_point(self, params, perf, t):
+        self.measured.append((self._tuple(params), perf, t))
+
+    def predict_bounds(self, params):
+        """(max_perf, min_time) bounds for an unmeasured point, from measured
+        points that dominate / are dominated by it component-wise."""
+        c = self._tuple(params)
+        max_perf = float("inf")
+        min_time = 0.0
+        for p, perf, t in self.measured:
+            if all(a >= b for a, b in zip(p, c)):
+                max_perf = min(max_perf, perf)
+            if all(a <= b for a, b in zip(p, c)):
+                min_time = max(min_time, t)
+        return max_perf, min_time
+
+    def is_pareto_optimal(self, max_perf, min_time):
+        """False when a measured point already beats the candidate's best
+        case on both axes — then the candidate can be skipped."""
+        return not any(
+            perf >= max_perf and t <= min_time for _, perf, t in self.measured
+        )
+
+
+def _as_list(v):
+    return list(v) if isinstance(v, (list, tuple)) else [v]
+
+
 def run_search(ds, args, workdir: Path):
     index = load_index(args, workdir)
     source = index.invlists
@@ -88,20 +129,20 @@ def run_search(ds, args, workdir: Path):
 
     xq = ds.get_queries()
     gt = ds.get_groundtruth(100)
-    nshort, k = args.nshort, args.k
+    k = args.k
     M = index.qinco.M
 
-    def one_run():
+    def one_run(nprobe, nshort):
         t0 = time.time()
         if args.defer_id_decoding:
             D, I, codes = index.search_defer_id_decoding(
-                xq, nshort, nprobe=args.nprobe, decode_1by1=decode_1by1,
+                xq, nshort, nprobe=nprobe, decode_1by1=decode_1by1,
                 return_codes=2)
         else:
             # one scan: positional labels -> translate + harvest (the
             # non-deferred baseline still pays per-result translation; it
             # must not pay a second full scan)
-            D, L = index.search_positional(xq, nshort, args.nprobe)
+            D, L = index.search_positional(xq, nshort, nprobe)
             I = index._translate(L, decode_1by1)
             codes = index._harvest_codes(L, True)
         t_search = time.time() - t0
@@ -127,23 +168,55 @@ def run_search(ds, args, workdir: Path):
         t_rerank = time.time() - t0
         return I_rr, t_search, t_rerank
 
-    one_run()  # warmup/compile
-    results = []
-    for run in range(args.runs):
-        I_rr, t_search, t_rerank = one_run()
-        recalls = {
+    def recalls_of(I_rr):
+        return {
             str(r): float((I_rr[:, :r] == gt[:, :1]).sum()) / len(xq)
             for r in (1, 10, 100) if r <= k
         }
-        results.append(dict(run=run, t_search=t_search, t_rerank=t_rerank,
-                            recalls=recalls))
-        print(f"[search] run {run}: search {t_search:.3f}s "
-              f"rerank {t_rerank:.3f}s recalls {recalls}", flush=True)
 
-    out = dict(args=vars(args), ids_size=int(ids_size),
+    # operating-point grid (reference op.add_range("nprobe"/"nshort"),
+    # :221-232); scalar args run the single point the old schema expects
+    nprobes = _as_list(args.nprobe)
+    nshorts = _as_list(args.nshort)
+    grid = [dict(nprobe=int(np_), nshort=int(ns))
+            for np_ in nprobes for ns in nshorts]
+    n_autotune = getattr(args, "n_autotune", 0)
+    if n_autotune and len(grid) > n_autotune:
+        rs = np.random.RandomState(123)  # reference :233
+        grid = [grid[i] for i in rs.choice(len(grid), n_autotune,
+                                           replace=False)]
+
+    op = OperatingPoints(["nprobe", "nshort"])
+    one_run(grid[0]["nprobe"], grid[0]["nshort"])  # warmup/compile
+    results = []
+    sweep = []
+    for params in grid:
+        if n_autotune:
+            max_perf, min_time = op.predict_bounds(params)
+            if not op.is_pareto_optimal(max_perf, min_time):
+                print(f"[search] {params} SKIP (dominated: "
+                      f"{max_perf=:.3f} {min_time=:.3f})", flush=True)
+                sweep.append(dict(parameters=params, skipped=True))
+                continue
+        for run in range(args.runs):
+            I_rr, t_search, t_rerank = one_run(params["nprobe"],
+                                               params["nshort"])
+            recalls = recalls_of(I_rr)
+            row = dict(run=run, parameters=params, t_search=t_search,
+                       t_rerank=t_rerank, recalls=recalls)
+            results.append(row)
+            print(f"[search] {params} run {run}: search {t_search:.3f}s "
+                  f"rerank {t_rerank:.3f}s recalls {recalls}", flush=True)
+        op.add_operating_point(params, recalls["1"], t_search + t_rerank)
+        sweep.append(dict(parameters=params, skipped=False,
+                          t_search=t_search, t_rerank=t_rerank,
+                          recalls=recalls))
+
+    out = dict(args={k_: v for k_, v in vars(args).items()},
+               ids_size=int(ids_size),
                comp_time=comp_time, ntotal=index.ntotal,
                bits_per_id=8.0 * ids_size / max(index.ntotal, 1),
-               results=results)
+               results=results, sweep=sweep)
     out_path = workdir / "search_results.json"
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
@@ -170,8 +243,12 @@ def main(argv=None):
     p.add_argument("--id_compression", default="none",
                    choices=list(COMPRESSIONS))
     p.add_argument("--defer_id_decoding", action="store_true")
-    p.add_argument("--nprobe", type=int, default=16)
-    p.add_argument("--nshort", type=int, default=100)
+    p.add_argument("--nprobe", type=int, nargs="+", default=[16],
+                   help="one value = single point; several = sweep range")
+    p.add_argument("--nshort", type=int, nargs="+", default=[100])
+    p.add_argument("--n_autotune", type=int, default=0,
+                   help="sample this many grid points with Pareto pruning "
+                        "(reference --n_autotune, :353); 0 = run full grid")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--runs", type=int, default=3)
     args = p.parse_args(argv)

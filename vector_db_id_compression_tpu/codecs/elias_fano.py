@@ -13,8 +13,9 @@ Parameter-compatible with the reference's modified succinct elias_fano
 
 Host (`ef_encode_lists`): fully vectorized numpy build — Elias-Fano encoding
 has no sequential dependency, so unlike ROC it needs no scan at all.
-Device (`EliasFanoBatch`): packed words + prefix-popcount select index per
-lane. The full-list sweep (`ef_decode_all`) replaces the reference's
+Device (`EliasFanoBatch`): packed words + sampled superblock select directory
+per lane (core.bits, one i32 per 512 bits — darray-class overhead, the TPU
+shape of elias_fano.hpp:141-145's darray1). The full-list sweep (`ef_decode_all`) replaces the reference's
 word-buffered select_enumerator (elias_fano.hpp:210-261) with one dense
 cumsum/scatter over the high bitvector — every element of every lane decoded
 in a single fused XLA program. Random-access `ef_select` vectorizes over
@@ -134,6 +135,67 @@ def ef_select(ef: EliasFanoBatch, lane: jax.Array, k: jax.Array) -> jax.Array:
     low = _low_fields_dyn(ef.low_words, ef.l, lane, k)
     high_val = (high_pos - k).astype(jnp.uint64)
     return (high_val << ef.l[lane].astype(jnp.uint64)) | low
+
+
+# ---------------------------------------------------------------------------
+# secondary op surface (reference elias_fano.hpp:147-208)
+#
+# The reference implements rank via a darray0 zero-directory plus a
+# data-dependent backward walk over the shared high bucket
+# (elias_fano.hpp:146-167) — pointer-chasing that maps poorly to SIMD lanes.
+# Here rank is a fixed-depth vectorized binary search over ef_select (the
+# sequence is sorted, so rank(pos) == lower_bound(ids, pos)); every query in
+# the batch takes the same 35-step path, each step a dense select. Identical
+# outputs, TPU-shaped control flow.
+# ---------------------------------------------------------------------------
+
+_RANK_STEPS = 35  # ceil(log2(2^34)) — covers any m the u32-word layout can hold
+
+
+def ef_rank(ef: EliasFanoBatch, lane: jax.Array, pos: jax.Array) -> jax.Array:
+    """Number of elements with value < pos (reference elias_fano.hpp:146-167;
+    pos == universe+1 returns m as the reference's pos==size() branch does)."""
+    pos = pos.astype(jnp.uint64)
+    m = ef.m[lane]
+    lo = jnp.zeros_like(m)
+    hi = m
+    for _ in range(_RANK_STEPS):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = ef_select(ef, lane, jnp.minimum(mid, jnp.maximum(m - 1, 0)))
+        go_right = v < pos
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
+
+
+def ef_predecessor1(ef: EliasFanoBatch, lane: jax.Array, pos: jax.Array) -> jax.Array:
+    """Largest element <= pos (reference elias_fano.hpp:169-171; as there,
+    the caller must ensure one exists — k is clamped at 0 here)."""
+    k = ef_rank(ef, lane, pos.astype(jnp.int64) + 1) - 1
+    return ef_select(ef, lane, jnp.maximum(k, 0))
+
+
+def ef_successor1(ef: EliasFanoBatch, lane: jax.Array, pos: jax.Array) -> jax.Array:
+    """Smallest element >= pos (reference elias_fano.hpp:173-175; caller must
+    ensure one exists — k is clamped at m-1 here)."""
+    k = ef_rank(ef, lane, pos)
+    return ef_select(ef, lane, jnp.minimum(k, jnp.maximum(ef.m[lane] - 1, 0)))
+
+
+def ef_delta(ef: EliasFanoBatch, lane: jax.Array, n: jax.Array) -> jax.Array:
+    """select(n) - select(n-1), select(0) for n == 0 (elias_fano.hpp:178-194).
+    The reference walks high bits backward for the predecessor; two dense
+    selects are branch-free and batched here."""
+    cur = ef_select(ef, lane, n)
+    prev = ef_select(ef, lane, jnp.maximum(n - 1, 0))
+    return jnp.where(n > 0, cur - prev, cur)
+
+
+def ef_select_range(ef: EliasFanoBatch, lane: jax.Array, n: jax.Array):
+    """(select(n), select(n+1)) pairs (elias_fano.hpp:197-207; requires
+    n+1 < m as the reference asserts)."""
+    return ef_select(ef, lane, n), ef_select(ef, lane, n + 1)
 
 
 def ef_decode_all(ef: EliasFanoBatch, n_max: int) -> jax.Array:

@@ -7,13 +7,16 @@ is the from-scratch equivalent:
   - blocks of 63 bits, each stored as a 6-bit *class* (its popcount k) plus
     a ceil(log2(C(63,k)))-bit *offset* (the block's combinatorial rank among
     all 63-bit words of popcount k) — the classic H0-compressed layout;
-  - per-block inclusive rank prefix + per-block offset bit-start as the
-    select/rank index (the analogue of SDSL's superblock pointers, counted
-    as index overhead exactly like the reference reports them separately);
-  - **device** rank/select: block lookup is a searchsorted over the rank
-    prefix; the touched block is combinatorially unranked on the fly with a
-    63-step `lax.fori_loop` over a u64 binomial table (regular XLA, not
-    Pallas — u64 arithmetic is available here).
+  - a **sampled superblock directory** (SB_BLOCKS=16 blocks = 1008 bits per
+    entry): cumulative rank and cumulative offset-bit-start per superblock —
+    the SDSL superblock-pointer scheme itself, a few percent overhead
+    instead of per-block pointers. Within a superblock both quantities are
+    recovered on device from the stored classes (a dense 16-wide gather +
+    masked sum — no pointers);
+  - **device** rank/select: block lookup is a searchsorted over the sampled
+    rank directory; the touched block is combinatorially unranked on the fly
+    with a 63-step `lax.fori_loop` over a u64 binomial table (regular XLA,
+    not Pallas — u64 arithmetic is available here).
 
 Build is host-side numpy (vectorized over blocks; the only Python loop is
 over the 63 in-block positions).
@@ -29,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BLOCK = 63
+SB_BLOCKS = 16                 # blocks per superblock directory entry
+SB_BITS = SB_BLOCKS * BLOCK    # 1008 payload bits per entry
 
 # binomial table C[n][k] for n,k <= 63; C(63,31) ~ 9.16e17 < 2^63 fits u64
 _C = np.zeros((BLOCK + 1, BLOCK + 1), dtype=np.uint64)
@@ -47,11 +52,12 @@ OFF_BITS = np.array(
 class RRRPlanes(NamedTuple):
     """L stacked RRR bitvectors (one per wavelet-tree level)."""
 
-    classes: jax.Array      # i32[L, NB] block popcounts (the 6-bit classes)
-    off_words: jax.Array    # u32[L, OW] packed offset fields
-    off_start: jax.Array    # i64[L, NB] bit position of each block's offset
-    rank_prefix: jax.Array  # i64[L, NB] inclusive popcount up to block end
-    n: int                  # bits per plane
+    classes: jax.Array       # i32[L, NB] block popcounts (the 6-bit classes),
+    #                          NB padded to a SB_BLOCKS multiple
+    off_words: jax.Array     # u32[L, OW] packed offset fields
+    sb_off_start: jax.Array  # i64[L, NSB] bit-start of each superblock's offsets
+    sb_rank: jax.Array       # i64[L, NSB] inclusive popcount through superblock
+    n: int                   # bits per plane
     levels: int
 
     @property
@@ -62,14 +68,14 @@ class RRRPlanes(NamedTuple):
 
     @property
     def index_bits(self) -> int:
-        """Select/rank index (superblock-pointer analogue): prefix + starts,
-        counted at the widths a tight packing needs."""
-        nb = np.asarray(self.classes).shape[1]
-        lvls = self.levels
+        """Sampled directory (SDSL superblock-pointer parity): one
+        (rank, offset-start) pair per SB_BLOCKS blocks, counted at the
+        widths a tight packing needs."""
+        nsb = np.asarray(self.sb_rank).shape[1]
         rank_w = max(int(self.n).bit_length(), 1)
-        start_w = max(int(np.asarray(self.off_start).max(initial=1))
+        start_w = max(int(np.asarray(self.sb_off_start).max(initial=1))
                       .bit_length(), 1)
-        return lvls * nb * (rank_w + start_w)
+        return self.levels * nsb * (rank_w + start_w)
 
 
 def _block_offsets_host(blocks: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -92,7 +98,8 @@ def rrr_encode_planes(planes: np.ndarray) -> RRRPlanes:
     """planes u8[L, n] of 0/1 -> stacked RRR vectors."""
     planes = np.asarray(planes, dtype=np.uint8)
     L, n = planes.shape
-    NB = max((n + BLOCK - 1) // BLOCK, 1)
+    NSB = max((n + SB_BITS - 1) // SB_BITS, 1)
+    NB = NSB * SB_BLOCKS
     padded = np.zeros((L, NB * BLOCK), dtype=np.uint8)
     padded[:, :n] = planes
     blocks = padded.reshape(L, NB, BLOCK)
@@ -120,12 +127,15 @@ def rrr_encode_planes(planes: np.ndarray) -> RRRPlanes:
     off_words = (bitarr.reshape(L, OW, 32).astype(np.uint32)
                  * weights[None, None, :]).sum(axis=2, dtype=np.uint32)
 
-    rank_prefix = np.cumsum(classes.astype(np.int64), axis=1)
+    # sampled directory: per-superblock offset start + inclusive rank
+    sb_off_start = off_start[:, ::SB_BLOCKS].copy()
+    sb_rank = np.cumsum(
+        classes.reshape(L, NSB, SB_BLOCKS).sum(axis=2, dtype=np.int64), axis=1)
     return RRRPlanes(
         classes=jnp.asarray(classes),
         off_words=jnp.asarray(off_words),
-        off_start=jnp.asarray(off_start),
-        rank_prefix=jnp.asarray(rank_prefix),
+        sb_off_start=jnp.asarray(sb_off_start),
+        sb_rank=jnp.asarray(sb_rank),
         n=n, levels=L,
     )
 
@@ -138,9 +148,32 @@ _C_dev = jnp.asarray(_C)                 # u64[64, 64]
 _OFF_BITS_dev = jnp.asarray(OFF_BITS)    # i32[64]
 
 
-def _read_offset(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
+def _class_window(rrr: RRRPlanes, level: int, sb: jax.Array) -> jax.Array:
+    """Gather each query's superblock of classes → i32[Q, SB_BLOCKS]."""
+    idx = sb[..., None] * SB_BLOCKS + jnp.arange(SB_BLOCKS, dtype=jnp.int64)
+    return rrr.classes[level, idx]
+
+
+def _block_start_and_rank(rrr: RRRPlanes, level: int, blk: jax.Array):
+    """(offset bit-start, exclusive rank) of each queried block, recovered
+    from the sampled directory + the class window."""
+    sb = blk // SB_BLOCKS
+    rel = blk - sb * SB_BLOCKS
+    cls = _class_window(rrr, level, sb)                     # [Q, S]
+    widths = _OFF_BITS_dev[cls].astype(jnp.int64)
+    before = jnp.arange(SB_BLOCKS, dtype=jnp.int64) < rel[..., None]
+    start = rrr.sb_off_start[level, sb] + jnp.sum(
+        jnp.where(before, widths, 0), axis=-1)
+    rank_before_sb = jnp.where(
+        sb > 0, rrr.sb_rank[level, jnp.maximum(sb - 1, 0)], 0)
+    rank = rank_before_sb + jnp.sum(
+        jnp.where(before, cls.astype(jnp.int64), 0), axis=-1)
+    return start, rank
+
+
+def _read_offset(rrr: RRRPlanes, level: int, blk: jax.Array,
+                 start: jax.Array) -> jax.Array:
     """Read each queried block's packed offset field -> u64[Q]."""
-    start = rrr.off_start[level, blk]               # i64[Q]
     width = _OFF_BITS_dev[rrr.classes[level, blk]]  # i32[Q]
     w = (start >> 5).astype(jnp.int32)
     s = (start & 31).astype(jnp.uint32)
@@ -163,8 +196,9 @@ def _read_offset(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
 
 def _decode_blocks(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
     """Unrank queried blocks -> u64[Q] bitmasks (bit i = position i)."""
+    start, _ = _block_start_and_rank(rrr, level, blk)
     k0 = rrr.classes[level, blk].astype(jnp.int32)
-    off0 = _read_offset(rrr, level, blk)
+    off0 = _read_offset(rrr, level, blk, start)
 
     def step(i, carry):
         off, k, bits = carry
@@ -183,14 +217,12 @@ def _decode_blocks(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
 
 def rrr_rank1(rrr: RRRPlanes, level: int, pos: jax.Array) -> jax.Array:
     """Set bits strictly below pos; pos i64[Q]."""
-    blk = (pos // BLOCK).astype(jnp.int32)
-    NB = rrr.rank_prefix.shape[1]
-    blk = jnp.clip(blk, 0, NB - 1)
-    before = jnp.where(blk > 0, rrr.rank_prefix[level,
-                                                jnp.maximum(blk - 1, 0)], 0)
-    m = (pos - blk.astype(jnp.int64) * BLOCK).astype(jnp.uint64)
+    NB = rrr.classes.shape[1]
+    blk = jnp.clip((pos // BLOCK).astype(jnp.int64), 0, NB - 1)
+    _, before = _block_start_and_rank(rrr, level, blk)
+    m = (pos - blk * BLOCK).astype(jnp.uint64)
     bits = _decode_blocks(rrr, level, blk)
-    mask = (jnp.uint64(1) << m) - jnp.uint64(1)
+    mask = (jnp.uint64(1) << jnp.minimum(m, jnp.uint64(BLOCK))) - jnp.uint64(1)
     inblk = jax.lax.population_count(bits & mask).astype(jnp.int64)
     return before + inblk
 
@@ -205,23 +237,37 @@ def _select_in_block(bits: jax.Array, j: jax.Array, invert: bool) -> jax.Array:
     return jnp.argmax(cum == (j[..., None] + 1), axis=-1).astype(jnp.int64)
 
 
-def rrr_select1(rrr: RRRPlanes, level: int, k: jax.Array) -> jax.Array:
-    p = rrr.rank_prefix[level]
-    blk = jnp.searchsorted(p, k + 1, side="left").astype(jnp.int32)
-    blk = jnp.clip(blk, 0, p.shape[0] - 1)
-    before = jnp.where(blk > 0, p[jnp.maximum(blk - 1, 0)], 0)
+def _rrr_select(rrr: RRRPlanes, level: int, k: jax.Array, invert: bool) -> jax.Array:
+    """Shared select over ones/zeros: searchsorted over the sampled rank
+    directory, class-window cumsum to the block, then unrank + in-block scan."""
+    sbr = rrr.sb_rank[level]
+    NSB = sbr.shape[0]
+    if invert:
+        counts = (jnp.arange(NSB, dtype=jnp.int64) + 1) * SB_BITS - sbr
+    else:
+        counts = sbr
+    sb = jnp.clip(jnp.searchsorted(counts, k + 1, side="left").astype(jnp.int64),
+                  0, NSB - 1)
+    before_sb = jnp.where(sb > 0, counts[jnp.maximum(sb - 1, 0)], 0)
+    cls = _class_window(rrr, level, sb).astype(jnp.int64)     # [Q, S]
+    per_blk = (BLOCK - cls) if invert else cls
+    cum = jnp.cumsum(per_blk, axis=-1)
+    k_rel = k - before_sb
+    rel = jnp.clip(jnp.sum((cum <= k_rel[..., None]).astype(jnp.int64), axis=-1),
+                   0, SB_BLOCKS - 1)
+    before = before_sb + jnp.where(
+        rel > 0,
+        jnp.take_along_axis(cum, jnp.maximum(rel - 1, 0)[..., None], axis=-1)[..., 0],
+        0,
+    )
+    blk = sb * SB_BLOCKS + rel
     bits = _decode_blocks(rrr, level, blk)
-    return (blk.astype(jnp.int64) * BLOCK
-            + _select_in_block(bits, k - before, invert=False))
+    return blk * BLOCK + _select_in_block(bits, k - before, invert=invert)
+
+
+def rrr_select1(rrr: RRRPlanes, level: int, k: jax.Array) -> jax.Array:
+    return _rrr_select(rrr, level, k, invert=False)
 
 
 def rrr_select0(rrr: RRRPlanes, level: int, k: jax.Array) -> jax.Array:
-    p1 = rrr.rank_prefix[level]
-    NB = p1.shape[0]
-    p0 = (jnp.arange(NB, dtype=jnp.int64) + 1) * BLOCK - p1
-    blk = jnp.searchsorted(p0, k + 1, side="left").astype(jnp.int32)
-    blk = jnp.clip(blk, 0, NB - 1)
-    before = jnp.where(blk > 0, p0[jnp.maximum(blk - 1, 0)], 0)
-    bits = _decode_blocks(rrr, level, blk)
-    return (blk.astype(jnp.int64) * BLOCK
-            + _select_in_block(bits, k - before, invert=True))
+    return _rrr_select(rrr, level, k, invert=True)

@@ -11,14 +11,18 @@ device queries:
   build (host, vectorized): level-l sequence is the stable sort of the
     symbols by their top-l bits (stable sorts compose, so no per-node
     partitioning loop); each level stores one packed bitvector of the
-    current bit plane plus an inclusive per-word prefix popcount.
+    current bit plane plus a **sampled superblock popcount directory** —
+    one cumulative count per SB_WORDS words (SB_WORDS=32 → one entry per
+    1024 bits, ~3% overhead, the SDSL-superblock footprint the reference's
+    wt_int carries rather than the 100% a per-word prefix would cost).
 
   select (device): the classic two-sweep walk — a top-down pass computes the
     node interval along the symbol's bit path via rank, a bottom-up pass
-    lifts the leaf offset through select0/select1 at each level. Both
-    rank and select are O(log W) per query via ``jnp.searchsorted`` over the
-    prefix-popcount arrays, fully vectorized over (symbol, offset) query
-    batches — the TPU replacement for SDSL's pointer-walking select.
+    lifts the leaf offset through select0/select1 at each level. Rank and
+    select search the superblock directory (``jnp.searchsorted``), then
+    resolve within the 32-word window by a dense popcount cumsum — fully
+    vectorized over (symbol, offset) query batches, the TPU replacement for
+    SDSL's pointer-walking select.
 
 Levels L = ceil(log2(sigma)) with sigma = alphabet size (nlist); symbols must
 be < 2**L. Total payload: L * ntotal bits (+ index), the wavelet-tree rate the
@@ -35,16 +39,15 @@ import numpy as np
 
 from ..core.bits import np_pack_fixed
 
-
-def wt_levels(sigma: int) -> int:
-    """Number of bit planes for alphabet size sigma (>=1 symbol)."""
-    return max(1, int(sigma - 1).bit_length()) if sigma > 1 else 1
+# superblock: 32 u32 words = 1024 bits per directory entry
+SB_WORDS = 32
+SB_BITS = SB_WORDS * 32
 
 
 class WaveletTree(NamedTuple):
-    words: jax.Array    # u32[L, W] packed bit planes
-    prefix1: jax.Array  # i64[L, W] inclusive popcount per word
-    n: int              # sequence length
+    words: jax.Array      # u32[L, W] packed bit planes, W a SB_WORDS multiple
+    sb_prefix: jax.Array  # i64[L, SB] inclusive popcount through superblock
+    n: int                # sequence length
     levels: int
 
     @property
@@ -55,7 +58,26 @@ class WaveletTree(NamedTuple):
 
     @property
     def index_size_in_bits(self) -> int:
-        return int(self.prefix1.size) * 32  # prefix index, i32-equivalent
+        """Sampled directory: one 32-bit entry per superblock per level."""
+        entries_per_level = max((self.n + SB_BITS - 1) // SB_BITS, 1)
+        return self.levels * entries_per_level * 32
+
+
+def wt_levels(sigma: int) -> int:
+    """Number of bit planes for alphabet size sigma (>=1 symbol)."""
+    return max(1, int(sigma - 1).bit_length()) if sigma > 1 else 1
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    return np.bitwise_count(x.astype(np.uint32)).astype(np.int64)
+
+
+def wt_index_from_words(words: np.ndarray) -> np.ndarray:
+    """Superblock directory from packed planes u32[L, W] (W padded) —
+    shared by build and artifact load (store.serialize)."""
+    L, W = words.shape
+    pops = _popcount_np(words).reshape(L, W // SB_WORDS, SB_WORDS).sum(axis=2)
+    return np.cumsum(pops, axis=1)
 
 
 def build_wavelet_tree(symbols: np.ndarray, sigma: int) -> WaveletTree:
@@ -63,9 +85,8 @@ def build_wavelet_tree(symbols: np.ndarray, sigma: int) -> WaveletTree:
     symbols = np.asarray(symbols, dtype=np.uint32)
     n = len(symbols)
     L = wt_levels(sigma)
-    W = max((n + 31) // 32, 1)
+    W = max((n + SB_BITS - 1) // SB_BITS, 1) * SB_WORDS
     words = np.zeros((L, W), dtype=np.uint32)
-    prefix1 = np.zeros((L, W), dtype=np.int64)
     for l in range(L):
         # level-l sequence = stable sort by top-l bits
         if l == 0:
@@ -75,12 +96,8 @@ def build_wavelet_tree(symbols: np.ndarray, sigma: int) -> WaveletTree:
         plane = ((seq >> (L - 1 - l)) & 1).astype(np.uint64)
         w = np_pack_fixed(plane, 1, total_bits=W * 32)
         words[l, : len(w)] = w
-        prefix1[l] = np.cumsum(_popcount_np(words[l]))
-    return WaveletTree(jnp.asarray(words), jnp.asarray(prefix1), n, L)
-
-
-def _popcount_np(x: np.ndarray) -> np.ndarray:
-    return np.bitwise_count(x.astype(np.uint32)).astype(np.int64)
+    sb = wt_index_from_words(words)
+    return WaveletTree(jnp.asarray(words), jnp.asarray(sb), n, L)
 
 
 # ---------------------------------------------------------------------------
@@ -88,14 +105,29 @@ def _popcount_np(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _window(wt: WaveletTree, level: int, sb: jax.Array) -> jax.Array:
+    """Gather each query's superblock window → u32[Q, SB_WORDS]."""
+    widx = sb[..., None] * SB_WORDS + jnp.arange(SB_WORDS, dtype=jnp.int64)
+    return wt.words[level, widx]
+
+
 def _rank1(wt: WaveletTree, level: int, pos: jax.Array) -> jax.Array:
     """Set bits strictly below pos on a level; pos i64[Q]."""
-    w = (pos >> 5).astype(jnp.int32)
-    before = jnp.where(w > 0, wt.prefix1[level, jnp.maximum(w - 1, 0)], 0)
-    bit = (pos & 31).astype(jnp.uint32)
-    mask = jnp.where(bit > 0, (jnp.uint32(1) << bit) - jnp.uint32(1), jnp.uint32(0))
-    inword = jax.lax.population_count(wt.words[level, w] & mask).astype(jnp.int64)
-    return before + inword
+    word_idx = pos >> 5
+    SB = wt.sb_prefix.shape[1]
+    sb = jnp.minimum(word_idx // SB_WORDS, SB - 1)
+    before = jnp.where(sb > 0, wt.sb_prefix[level, jnp.maximum(sb - 1, 0)], 0)
+    win = _window(wt, level, sb)
+    g = sb[..., None] * SB_WORDS + jnp.arange(SB_WORDS, dtype=jnp.int64)
+    bit = (pos & 31).astype(jnp.uint32)[..., None]
+    part = jnp.where(bit > 0, (jnp.uint32(1) << bit) - jnp.uint32(1), jnp.uint32(0))
+    mask = jnp.where(
+        g < word_idx[..., None],
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(g == word_idx[..., None], part, jnp.uint32(0)),
+    )
+    inwin = jax.lax.population_count(win & mask).astype(jnp.int64).sum(axis=-1)
+    return before + inwin
 
 
 def _select_in_word(word: jax.Array, k: jax.Array) -> jax.Array:
@@ -105,23 +137,41 @@ def _select_in_word(word: jax.Array, k: jax.Array) -> jax.Array:
     return jnp.argmax(cum == (k[..., None] + 1), axis=-1).astype(jnp.int64)
 
 
+def _select_common(wt: WaveletTree, level: int, k: jax.Array,
+                   sb_counts: jax.Array, invert: bool) -> jax.Array:
+    """Shared select over ones (invert=False) or zeros (invert=True):
+    searchsorted over the (possibly complemented) superblock directory, then
+    dense popcount cumsum within the window, then in-word scan."""
+    SB = sb_counts.shape[0]
+    sb = jnp.searchsorted(sb_counts, k + 1, side="left").astype(jnp.int64)
+    sb = jnp.clip(sb, 0, SB - 1)
+    before_sb = jnp.where(sb > 0, sb_counts[jnp.maximum(sb - 1, 0)], 0)
+    win = _window(wt, level, sb)
+    if invert:
+        win = ~win
+    cum = jnp.cumsum(jax.lax.population_count(win).astype(jnp.int64), axis=-1)
+    k_rel = k - before_sb
+    rel = jnp.sum((cum <= k_rel[..., None]).astype(jnp.int64), axis=-1)
+    rel = jnp.clip(rel, 0, SB_WORDS - 1)
+    before = before_sb + jnp.where(
+        rel > 0,
+        jnp.take_along_axis(cum, jnp.maximum(rel - 1, 0)[..., None], axis=-1)[..., 0],
+        0,
+    )
+    word = jnp.take_along_axis(win, rel[..., None], axis=-1)[..., 0]
+    return (sb * SB_WORDS + rel) * 32 + _select_in_word(word, k - before)
+
+
 def _select1(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
-    """Position of (k+1)-th set bit (k 0-based); O(log W) searchsorted."""
-    p = wt.prefix1[level]
-    w = jnp.searchsorted(p, k + 1, side="left").astype(jnp.int32)
-    w = jnp.clip(w, 0, p.shape[0] - 1)
-    before = jnp.where(w > 0, p[jnp.maximum(w - 1, 0)], 0)
-    return w.astype(jnp.int64) * 32 + _select_in_word(wt.words[level, w], k - before)
+    """Position of (k+1)-th set bit (k 0-based)."""
+    return _select_common(wt, level, k, wt.sb_prefix[level], invert=False)
 
 
 def _select0(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
-    p1 = wt.prefix1[level]
-    W = p1.shape[0]
-    p0 = (jnp.arange(W, dtype=jnp.int64) + 1) * 32 - p1
-    w = jnp.searchsorted(p0, k + 1, side="left").astype(jnp.int32)
-    w = jnp.clip(w, 0, W - 1)
-    before = jnp.where(w > 0, p0[jnp.maximum(w - 1, 0)], 0)
-    return w.astype(jnp.int64) * 32 + _select_in_word(~wt.words[level, w], k - before)
+    p1 = wt.sb_prefix[level]
+    SB = p1.shape[0]
+    p0 = (jnp.arange(SB, dtype=jnp.int64) + 1) * SB_BITS - p1
+    return _select_common(wt, level, k, p0, invert=True)
 
 
 # ---------------------------------------------------------------------------

@@ -11,13 +11,16 @@ written LSB-first (matching Faiss BitstringWriter semantics so packed-bits
 containers serialize the same way the reference reads them).
 
 Host side: vectorized numpy pack/unpack (build time).
-Device side: rank/select over batches of packed bitvectors. Instead of the
-reference's darray select dictionary (sampled select positions + inline
-blocks), we keep a per-word prefix popcount — `select1(k)` is a binary search
-over the prefix array plus an in-word bit scan, both dense vector ops over
-query batches; `rank1` is a gather + masked popcount. This shape is
-XLA-friendly (static shapes, no pointer chasing) and the index is O(1 word per
-32 bits), comparable to darray overhead.
+Device side: rank/select over batches of packed bitvectors, with a **sampled
+superblock directory** — one cumulative-popcount word per ``SB_WORDS``
+payload words (SB_WORDS=16 → one i32 per 512 bits, 6.25% overhead — the
+darray-class footprint of the reference's select dictionary,
+elias_fano.hpp:141-145, instead of the 100% a per-word prefix would cost).
+``select1(k)``: binary search over the superblock directory, then a dense
+popcount-cumsum over the superblock's 16-word window, then an in-word bit
+scan — all static-shape vector ops over query batches. ``rank1``: superblock
+prefix + masked popcount over the window. XLA-friendly: no pointer chasing,
+every query in a batch takes the identical instruction path.
 """
 
 from __future__ import annotations
@@ -28,6 +31,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# superblock size: 16 u32 words = 512 bits per directory entry
+SB_WORDS = 16
+SB_BITS = SB_WORDS * 32
 
 # ---------------------------------------------------------------------------
 # host (numpy) packing
@@ -77,25 +84,39 @@ def np_set_bits(positions: np.ndarray, nbits: int) -> np.ndarray:
 
 
 class BitVectorBatch(NamedTuple):
-    """B packed bitvectors, equal word-padded, with a prefix-popcount index.
+    """B packed bitvectors, word-padded to a superblock multiple, with a
+    sampled-popcount select/rank directory.
 
-    words:  u32[B, W]
-    prefix: i32[B, W]  cumulative popcount *through* each word (inclusive)
-    nbits:  i32[B]     logical lengths
+    words:     u32[B, W]   W is a multiple of SB_WORDS
+    sb_prefix: i32[B, SB]  cumulative popcount *through* each superblock
+                           (inclusive), SB = W // SB_WORDS
+    nbits:     i32[B]      logical lengths
     """
 
     words: jax.Array
-    prefix: jax.Array
+    sb_prefix: jax.Array
     nbits: jax.Array
 
     @property
     def total_ones(self) -> jax.Array:
-        return self.prefix[:, -1]
+        return self.sb_prefix[:, -1]
+
+
+def directory_entries(nbits: int) -> int:
+    """Directory entries a bitvector of ``nbits`` logical bits needs — the
+    per-list overhead accounting unit (one i32 per entry)."""
+    return max((int(nbits) + SB_BITS - 1) // SB_BITS, 1)
 
 
 def build_bitvector_batch(words: jax.Array, nbits: jax.Array) -> BitVectorBatch:
+    words = jnp.asarray(words, dtype=jnp.uint32)
+    B, W = words.shape
+    Wp = ((W + SB_WORDS - 1) // SB_WORDS) * SB_WORDS
+    if Wp != W:
+        words = jnp.pad(words, ((0, 0), (0, Wp - W)))
     pops = jax.lax.population_count(words).astype(jnp.int32)
-    return BitVectorBatch(words, jnp.cumsum(pops, axis=1), nbits)
+    sb = jnp.cumsum(pops.reshape(B, Wp // SB_WORDS, SB_WORDS).sum(axis=2), axis=1)
+    return BitVectorBatch(words, sb, jnp.asarray(nbits, jnp.int32))
 
 
 def _select_in_word(word: jax.Array, k: jax.Array) -> jax.Array:
@@ -107,32 +128,58 @@ def _select_in_word(word: jax.Array, k: jax.Array) -> jax.Array:
     return jnp.argmax(cum == (k[..., None] + 1), axis=-1).astype(jnp.int32)
 
 
+def _window(words: jax.Array, lane: jax.Array, sb: jax.Array) -> jax.Array:
+    """Gather one superblock's SB_WORDS-word window per query → u32[..., S]."""
+    widx = sb[..., None] * SB_WORDS + jnp.arange(SB_WORDS, dtype=jnp.int32)
+    return words[lane[..., None], widx]
+
+
 def select1_batch(bv: BitVectorBatch, lane: jax.Array, k: jax.Array) -> jax.Array:
     """Bit position of the (k+1)-th set bit (k 0-based) in bitvector ``lane``,
     vectorized over parallel query arrays ``lane``/``k`` of equal shape."""
-    prefix = bv.prefix[lane]          # [..., W]
-    # first word whose inclusive prefix exceeds k
-    word_idx = jnp.sum((prefix <= k[..., None]).astype(jnp.int32), axis=-1)
-    word_idx = jnp.clip(word_idx, 0, bv.words.shape[1] - 1)
-    before = jnp.where(word_idx > 0,
-                       jnp.take_along_axis(bv.prefix[lane],
-                                           jnp.maximum(word_idx - 1, 0)[..., None],
-                                           axis=-1)[..., 0],
-                       0)
-    word = bv.words[lane, word_idx]
-    return word_idx * 32 + _select_in_word(word, k - before)
+    sbp = bv.sb_prefix[lane]                                  # [..., SB]
+    # first superblock whose inclusive prefix exceeds k
+    sb = jnp.sum((sbp <= k[..., None]).astype(jnp.int32), axis=-1)
+    sb = jnp.clip(sb, 0, bv.sb_prefix.shape[1] - 1)
+    before_sb = jnp.where(
+        sb > 0,
+        jnp.take_along_axis(sbp, jnp.maximum(sb - 1, 0)[..., None], axis=-1)[..., 0],
+        0,
+    )
+    win = _window(bv.words, lane, sb)                         # [..., S]
+    cum = jnp.cumsum(jax.lax.population_count(win).astype(jnp.int32), axis=-1)
+    k_rel = k - before_sb
+    rel = jnp.sum((cum <= k_rel[..., None]).astype(jnp.int32), axis=-1)
+    rel = jnp.clip(rel, 0, SB_WORDS - 1)
+    before = before_sb + jnp.where(
+        rel > 0,
+        jnp.take_along_axis(cum, jnp.maximum(rel - 1, 0)[..., None], axis=-1)[..., 0],
+        0,
+    )
+    word = jnp.take_along_axis(win, rel[..., None], axis=-1)[..., 0]
+    return (sb * SB_WORDS + rel) * 32 + _select_in_word(word, k - before)
 
 
 def rank1_batch(bv: BitVectorBatch, lane: jax.Array, pos: jax.Array) -> jax.Array:
     """Count of set bits strictly below ``pos``."""
     word_idx = pos >> 5
-    bit = (pos & 31).astype(jnp.uint32)
-    before = jnp.where(word_idx > 0,
-                       bv.prefix[lane, jnp.maximum(word_idx - 1, 0)],
-                       0)
-    word = bv.words[lane, word_idx]
-    mask = jnp.where(bit > 0, (jnp.uint32(1) << bit) - jnp.uint32(1), jnp.uint32(0))
-    return before + jax.lax.population_count(word & mask).astype(jnp.int32)
+    # pos == 32*W (rank of the whole vector) lands one superblock past the
+    # end; clamp — the full-window masks then count the whole last superblock
+    sb = jnp.minimum(word_idx // SB_WORDS, bv.sb_prefix.shape[1] - 1)
+    before_sb = jnp.where(
+        sb > 0, bv.sb_prefix[lane, jnp.maximum(sb - 1, 0)], 0
+    )
+    win = _window(bv.words, lane, sb)                         # [..., S]
+    g = sb[..., None] * SB_WORDS + jnp.arange(SB_WORDS, dtype=jnp.int32)
+    bit = (pos & 31).astype(jnp.uint32)[..., None]
+    part_mask = jnp.where(bit > 0, (jnp.uint32(1) << bit) - jnp.uint32(1), jnp.uint32(0))
+    mask = jnp.where(
+        g < word_idx[..., None],
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(g == word_idx[..., None], part_mask, jnp.uint32(0)),
+    )
+    inwin = jax.lax.population_count(win & mask).astype(jnp.int32).sum(axis=-1)
+    return before_sb + inwin
 
 
 @partial(jax.jit, static_argnums=(1,))

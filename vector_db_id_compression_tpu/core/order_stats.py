@@ -91,6 +91,35 @@ class FenwickOrderStats:
         self._add(pos, -1)
         return pos, int(self.domain[pos])
 
+    def reverse_lookup_then_remove(self, k: int) -> Tuple[int, int, int]:
+        """Reference-shaped variant (fenwick_tree.h reverse_lookup_then_remove,
+        exercised at tests/test_fenwick_tree.cpp:80-135): remove the k-th
+        smallest and return the Range triple (symbol, start, freq) where
+        start = count of strictly smaller elements and freq = the symbol's
+        multiplicity *before* this removal."""
+        if not (0 <= k < self._total):
+            raise IndexError(f"reverse_lookup_then_remove({k}) of {self._total}")
+        pos = 0
+        rem = k
+        step = 1 << self._log
+        while step:
+            nxt = pos + step
+            if nxt <= self._n and self._tree[nxt] <= rem:
+                rem -= self._tree[nxt]
+                pos = nxt
+            step >>= 1
+        start = self.rank(pos)
+        freq = self.rank(pos + 1) - start
+        self._add(pos, -1)
+        return int(self.domain[pos]), start, freq
+
+    def inorder_traversal(self) -> List[int]:
+        """Remaining multiset in sorted order (reference inorder_traversal)."""
+        out: List[int] = []
+        for i in range(self._n):
+            out.extend([int(self.domain[i])] * (self.rank(i + 1) - self.rank(i)))
+        return out
+
 
 class InsertRank:
     """Decode-side dual: insert symbols one at a time, return rank.
@@ -108,6 +137,14 @@ class InsertRank:
         r = bisect.bisect_left(self._sorted, symbol)
         self._sorted.insert(r, symbol)
         return r
+
+    def insert_then_forward_lookup(self, symbol: int) -> Tuple[int, int, int]:
+        """Reference-shaped variant (fenwick_tree.h insert_then_forward_lookup,
+        tests/test_fenwick_tree.cpp:16-78): insert and return the Range triple
+        (symbol, start, freq) with freq = multiplicity *after* the insert."""
+        start = self.insert(symbol)
+        freq = bisect.bisect_right(self._sorted, symbol) - start
+        return symbol, start, freq
 
     def __len__(self) -> int:
         return len(self._sorted)

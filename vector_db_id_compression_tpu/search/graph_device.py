@@ -206,6 +206,64 @@ def _search(fetch, tree, xb, xq, K, k, L, max_iters, entry):
     return pool_d[:, :k], pool_ids[:, :k], it
 
 
+@jax.jit
+def _descend(levels_tree, xb, xq, entry):
+    """Greedy (ef=1) walk through a stack of upper HNSW layers, top → 1, in
+    ONE device program. ``levels_tree`` is a tuple of (nodes_l i32[N_l],
+    adj_l i32[N_l, M]) compact per-level adjacency, ordered top level first;
+    nodes_l is sorted so the global-id → row mapping is a searchsorted.
+
+    Host parity: identical to HNSW._greedy_descend per level (the walk only
+    ever stands on nodes present at that level, so the row lookup always
+    hits)."""
+    nq = xq.shape[0]
+    cur = jnp.broadcast_to(jnp.asarray(entry, jnp.int32), (nq,))
+    cur_d = jnp.sum((xb[cur] - xq) ** 2, axis=1)
+
+    for nodes_l, adj_l in levels_tree:
+        def body(carry):
+            cur, cur_d, _ = carry
+            row = jnp.searchsorted(nodes_l, cur).astype(jnp.int32)
+            nbrs = adj_l[jnp.clip(row, 0, adj_l.shape[0] - 1)]   # [nq, M]
+            vecs = xb[jnp.maximum(nbrs, 0)]
+            d = jnp.sum((vecs - xq[:, None, :]) ** 2, axis=2)
+            d = jnp.where(nbrs >= 0, d, jnp.inf)
+            best = jnp.argmin(d, axis=1)
+            bd = d[jnp.arange(nq), best]
+            improve = bd < cur_d
+            cur = jnp.where(improve, nbrs[jnp.arange(nq), best], cur)
+            cur_d = jnp.where(improve, bd, cur_d)
+            return cur, cur_d, jnp.any(improve)
+
+        cur, cur_d, _ = jax.lax.while_loop(
+            lambda c: c[2], body, (cur, cur_d, jnp.bool_(True)))
+    return cur
+
+
+def hnsw_descend_device(hnsw, xq) -> np.ndarray:
+    """Per-query level-0 entry points for an HNSW index: the upper-layer
+    greedy descent (reference hnsw-equivalent of altid's NSG entry) as one
+    jitted dispatch instead of a host loop per level (round 1 this dominated
+    HNSW wall time — NOTES.md). Returns i32[nq]."""
+    xq = np.asarray(xq, np.float32)
+    if hnsw.max_level <= 0:
+        return np.full(len(xq), hnsw.entry, dtype=np.int32)
+    tree = hnsw.__dict__.get("_descend_tree")
+    if tree is None:
+        # compact per-level adjacency: rows only for nodes at that level,
+        # sorted by id (node population decays geometrically with level, so
+        # this costs ~N/(M-1) rows total instead of Lev*N dense)
+        tree = tuple(
+            (jnp.asarray(np.flatnonzero(hnsw.levels >= l).astype(np.int32)),
+             jnp.asarray(hnsw.layers[l][hnsw.levels >= l]))
+            for l in range(hnsw.max_level, 0, -1)
+        )
+        hnsw.__dict__["_descend_tree"] = tree
+    cur = _descend(tree, jnp.asarray(hnsw._xb), jnp.asarray(xq),
+                   np.int32(hnsw.entry))
+    return np.asarray(cur)
+
+
 def search_graph_device(graph, xb, xq, k: int, L: int = None, entry=0,
                         max_iters: int = 0):
     """Drop-in device-resident counterpart of search_graph (host loop):
@@ -219,6 +277,15 @@ def search_graph_device(graph, xb, xq, k: int, L: int = None, entry=0,
     tree, fetch, K = provider_for(graph)
     entries = jnp.asarray(
         np.broadcast_to(np.asarray(entry, np.int32), (len(xq),)))
-    D, I, _ = _search(fetch, tree, jnp.asarray(np.asarray(xb, np.float32)),
-                      jnp.asarray(xq), K, k, L, max_iters, entries)
+    D, I, it = _search(fetch, tree, jnp.asarray(np.asarray(xb, np.float32)),
+                       jnp.asarray(xq), K, k, L, max_iters, entries)
+    if int(np.asarray(it)) >= max_iters:
+        # the batched frontier hit the iteration cap before every query's
+        # pool converged — results may diverge from the host search; raise
+        # max_iters (or L) to restore the documented host parity
+        import warnings
+
+        warnings.warn(
+            f"search_graph_device stopped at the max_iters={max_iters} cap; "
+            "results may be truncated — raise max_iters", RuntimeWarning)
     return np.asarray(D), np.asarray(I)

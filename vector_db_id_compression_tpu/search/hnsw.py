@@ -41,6 +41,8 @@ def _dists(xq_dev, xb_dev, nodes: np.ndarray) -> np.ndarray:
 class HNSW:
     def __init__(self, M: int = 16, ef_construction: int = 40,
                  seed: int = 1234):
+        if M < 2:
+            raise ValueError(f"HNSW needs M >= 2 (mL = 1/ln(M)); got M={M}")
         self.M = M
         self.Mmax0 = 2 * M
         self.mL = 1.0 / math.log(M)
@@ -227,27 +229,15 @@ class HNSW:
         optionally substitutes a compressed container for the level-0
         adjacency (the replace_final_graph analogue)."""
         xq = np.asarray(xq, np.float32)
-        xb_dev = jnp.asarray(self._xb)
-        inserted = np.ones(len(self._xb), dtype=bool)
-        cur = np.full(len(xq), self.entry, dtype=np.int32)
-        # greedy descent reads queries from self._xb[pts]; stash and swap —
-        # restored in finally so an exception mid-descent can't leave the
-        # index pointing at the query batch
-        orig_xb = self._xb
-        try:
-            self._xb = xq  # _greedy_descend indexes self._xb[pts] for queries
-            for l in range(self.max_level, 0, -1):
-                cur = self._greedy_descend(np.arange(len(xq)), xb_dev, cur, l,
-                                           inserted)
-        finally:
-            self._xb = orig_xb
-        g0 = graph0 if graph0 is not None else self.level0_graph()
-        # one fully-jitted device traversal with per-query entry points
-        # (search/graph_device.py) — identical results to the host loop
-        from .graph_device import search_graph_device
+        # upper-layer descent + level-0 pool search are each ONE jitted
+        # device dispatch (search/graph_device.py) — identical results to
+        # the host loops (oracle-tested in tests/test_hnsw.py)
+        from .graph_device import hnsw_descend_device, search_graph_device
 
-        return search_graph_device(g0, orig_xb, xq, k, L=ef or 2 * k,
-                                   entry=cur.astype(np.int32))
+        cur = hnsw_descend_device(self, xq)
+        g0 = graph0 if graph0 is not None else self.level0_graph()
+        return search_graph_device(g0, self._xb, xq, k, L=ef or 2 * k,
+                                   entry=cur)
 
 
 def get_level0_links(index: HNSW, vno: int) -> np.ndarray:

@@ -310,6 +310,17 @@ class IndexIVF:
         for ln, (si, lane) in self._list_to_scan.items():
             self._bucket_of[ln] = si
             self._lane_of[ln] = lane
+        # flat code table for the vectorized shortlist harvest
+        codes_per_list = [
+            np.asarray(get_codes(ln), np.uint8) for ln in range(self.nlist)
+        ]
+        self._codes_offsets = np.zeros(self.nlist + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in codes_per_list],
+                  out=self._codes_offsets[1:])
+        self._codes_flat = (
+            np.concatenate(codes_per_list)
+            if self._codes_offsets[-1] else np.empty(0, np.uint8)
+        )
 
     # ----------------------------------------------------------------- search
 
@@ -449,28 +460,27 @@ class IndexIVF:
 
     def _harvest_codes(self, labels: np.ndarray, include_listno: bool) -> np.ndarray:
         """Shortlist payload codes, 0xff-filled for empty slots
-        (reference .cpp:433-462)."""
-        container = self.active
-        cs1 = self.code_size + (self.coarse_code_size if include_listno else 0)
+        (reference .cpp:433-462). One fancy-indexed gather over the flat code
+        table built at replace_invlists — no per-result Python loop."""
+        cs = self.code_size
+        ccs = self.coarse_code_size if include_listno else 0
+        cs1 = cs + ccs
         flat = labels.reshape(-1)
         out = np.full((len(flat), cs1), 0xFF, dtype=np.uint8)
-        get_codes = (
-            container.get_codes
-            if hasattr(container, "get_codes")
-            else (lambda ln: container.codes[ln])
-        )
-        for i, lab in enumerate(flat):
-            if lab < 0:
-                continue
-            ln, off = int(lo_listno(lab)), int(lo_offset(lab))
-            c = get_codes(ln).reshape(-1, self.code_size)[off]
-            pos = 0
-            if include_listno:
-                # little-endian listno prefix (reference encode_listno)
-                for byte in range(self.coarse_code_size):
-                    out[i, byte] = (ln >> (8 * byte)) & 0xFF
-                pos = self.coarse_code_size
-            out[i, pos:] = c
+        valid = flat >= 0
+        if valid.any() and cs:
+            lns = lo_listno(flat[valid])
+            offs = lo_offset(flat[valid])
+            starts = self._codes_offsets[lns] + offs * cs
+            out[np.flatnonzero(valid), ccs:] = self._codes_flat[
+                starts[:, None] + np.arange(cs, dtype=np.int64)
+            ]
+        if include_listno and valid.any():
+            # little-endian listno prefix (reference encode_listno)
+            lns = lo_listno(flat[valid])
+            out[np.flatnonzero(valid), :ccs] = (
+                (lns[:, None] >> (8 * np.arange(ccs, dtype=np.int64))) & 0xFF
+            ).astype(np.uint8)
         return out.reshape(*labels.shape, cs1)
 
 

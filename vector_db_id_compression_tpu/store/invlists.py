@@ -49,6 +49,7 @@ from ..codecs.packed_bits import (
 )
 from ..codecs.roc import precision_for_max_id_safe
 from ..codecs.wavelet_tree import build_wavelet_tree, wt_select
+from ..core.bits import directory_entries
 from .ragged import Bucket, bucketize, pad_lists
 
 
@@ -366,10 +367,10 @@ class EliasFanoInvertedLists(CompressedInvertedLists):
                 e = ef_encode_list(v[perm])
                 encoded.append(e)
                 total_bits += e.size_in_bits
+                # sampled select directory: one i32 per 512 high bits
+                index_words += directory_entries(e.high_bits)
                 self._list_to_bucket[int(ln)] = (bi, lane)
-            ef = batch_ef_lists(encoded)
-            self._efs.append(ef)
-            index_words += int(np.asarray(ef.high.prefix).size)
+            self._efs.append(batch_ef_lists(encoded))
         # reference sums bits across lists then divides once (.cpp:282)
         self.compressed_ids_size_in_bytes = total_bits // 8
         # select-index overhead (the reference's darray equivalent; it

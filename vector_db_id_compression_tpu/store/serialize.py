@@ -31,6 +31,7 @@ from .graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
 from .invlists import (
     CompressedInvertedLists,
     EliasFanoInvertedLists,
+    InterleavedRocInvertedLists,
     PackedBitsInvertedLists,
     RocInvertedLists,
     WaveletTreeInvertedLists,
@@ -44,6 +45,7 @@ _KIND = {
     EliasFanoInvertedLists: "elias_fano",
     PackedBitsInvertedLists: "packed_bits",
     WaveletTreeInvertedLists: "wavelet_tree",
+    InterleavedRocInvertedLists: "roc_interleaved",
 }
 _BY_KIND = {v: k for k, v in _KIND.items()}
 
@@ -77,7 +79,15 @@ def save_invlists(path: Union[str, Path], c: CompressedInvertedLists) -> None:
     }
     meta = dict(magic=MAGIC, kind=kind)
 
-    if kind == "roc":
+    if kind in ("roc", "roc_interleaved"):
+        if kind == "roc_interleaved":
+            # entries are created list-major (chunks consecutive per list),
+            # so per-list entry counts reconstruct _entries_of
+            arrs["ent_counts"] = np.array(
+                [len(c._entries_of[ln]) for ln in range(c.nlist)], np.int64)
+            arrs["ent_lo"] = c._ent_lo
+            arrs["ent_len"] = c._ent_len
+            arrs["interleave"] = np.array([c.interleave], np.int64)
         arrs["id_symbol_precision"] = c.id_symbol_precision
         for bi, (bucket, st, prec) in enumerate(
             zip(c._buckets, c._states, c._precisions)
@@ -116,8 +126,8 @@ def save_invlists(path: Union[str, Path], c: CompressedInvertedLists) -> None:
         else:  # RRR(63)-compressed planes (codecs/rrr.py)
             arrs["rrr_classes"] = np.asarray(c.wt.classes)
             arrs["rrr_off_words"] = np.asarray(c.wt.off_words)
-            arrs["rrr_off_start"] = np.asarray(c.wt.off_start)
-            arrs["rrr_rank_prefix"] = np.asarray(c.wt.rank_prefix)
+            arrs["rrr_sb_off_start"] = np.asarray(c.wt.sb_off_start)
+            arrs["rrr_sb_rank"] = np.asarray(c.wt.sb_rank)
         arrs["wt_meta"] = np.array([c.wt.n, c.wt.levels, c.wt_type])
 
     np.savez(path, **arrs, **{f"meta_{k}": np.array(str(v)) for k, v in meta.items()})
@@ -151,11 +161,25 @@ def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
                 l2b[int(ln)] = (bi, lane)
         return buckets, l2b
 
-    if kind == "roc":
+    if kind in ("roc", "roc_interleaved"):
         c.id_symbol_precision = z["id_symbol_precision"]
-        c._buckets, c._list_to_bucket = load_buckets()
+        buckets, l2b = load_buckets()
+        c._buckets = buckets
+        if kind == "roc":
+            c._list_to_bucket = l2b
+            c._pallas = {}
+        else:
+            c._ent_to_bucket = l2b
+            c._ent_lo = z["ent_lo"]
+            c._ent_len = z["ent_len"]
+            c.interleave = int(z["interleave"][0])
+            bounds = np.zeros(c.nlist + 1, dtype=np.int64)
+            np.cumsum(z["ent_counts"], out=bounds[1:])
+            c._entries_of = {
+                ln: list(range(int(bounds[ln]), int(bounds[ln + 1])))
+                for ln in range(c.nlist)
+            }
         c._states, c._precisions = [], []
-        c._pallas = {}
         for bi in range(len(c._buckets)):
             c._states.append(
                 rd.RocStates(
@@ -197,20 +221,21 @@ def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
         n, levels, wt_type = (int(v) for v in z["wt_meta"])
         c.wt_type = wt_type
         if wt_type == 0:
-            words = jnp.asarray(z["wt_words"])
-            pops = np.cumsum(
-                np.bitwise_count(z["wt_words"].astype(np.uint32)).astype(np.int64),
-                axis=1,
+            from ..codecs.wavelet_tree import wt_index_from_words
+
+            words = z["wt_words"].astype(np.uint32)
+            c.wt = WaveletTree(
+                jnp.asarray(words), jnp.asarray(wt_index_from_words(words)),
+                n, levels,
             )
-            c.wt = WaveletTree(words, jnp.asarray(pops), n, levels)
         else:
             from ..codecs.rrr import RRRPlanes
 
             c.wt = RRRPlanes(
                 classes=jnp.asarray(z["rrr_classes"]),
                 off_words=jnp.asarray(z["rrr_off_words"]),
-                off_start=jnp.asarray(z["rrr_off_start"]),
-                rank_prefix=jnp.asarray(z["rrr_rank_prefix"]),
+                sb_off_start=jnp.asarray(z["rrr_sb_off_start"]),
+                sb_rank=jnp.asarray(z["rrr_sb_rank"]),
                 n=n, levels=levels,
             )
     return c

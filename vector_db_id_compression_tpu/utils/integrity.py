@@ -34,6 +34,10 @@ def artifact_checksum(path: Union[str, Path]) -> int:
 def stamp_artifact(path: Union[str, Path]) -> int:
     """Append a checksum entry to an existing artifact (rewrites the file)."""
     path = Path(path)
+    # np.savez appends '.npz' to suffix-less paths — that would write a NEW
+    # file and leave the original unstamped; require the suffix upfront
+    if path.suffix != ".npz":
+        raise ValueError(f"artifact path must end in .npz, got {path}")
     z = dict(np.load(path, allow_pickle=False))
     z.pop("checksum", None)
     crc = _crc_of_arrays(z)
