@@ -83,3 +83,65 @@ def test_sharded_size_accounting(batch):
                         8 + 4 * np.asarray(states.stack_len), 0).sum())
     assert int(total_bytes) == want
     assert int(total_ids) == int(lengths.sum())
+
+
+# ---------------------------------------------------------------------------
+# sharded end-to-end search (parallel/search.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf_setup():
+    from vector_db_id_compression_tpu.search.ivf import IndexIVF
+
+    rng = np.random.default_rng(5)
+    d, nlist, nb, nq = 16, 24, 1500, 40
+    xb = rng.normal(size=(nb, d)).astype(np.float32)
+    xq = rng.normal(size=(nq, d)).astype(np.float32)
+    index = IndexIVF(d, nlist, storage="flat", nprobe=4)
+    index.train(xb[:800])
+    index.add(xb)
+    return index, xq
+
+
+@pytest.mark.parametrize("mode", ["raw", "roc"])
+def test_sharded_search_matches_single_device(ivf_setup, mode):
+    """8-device sharded coarse+scan+merge+grouped-translate == the
+    single-device deferred-decoding search (D and I)."""
+    from vector_db_id_compression_tpu.parallel.search import ShardedIVF
+    from vector_db_id_compression_tpu.store.invlists import RocInvertedLists
+
+    index, xq = ivf_setup
+    k = 10
+    if mode == "roc":
+        container = RocInvertedLists(index.invlists)
+        index.replace_invlists(container)
+        D_ref, I_ref = index.search_defer_id_decoding(
+            xq, k, nprobe=4, decode_1by1=False)
+    else:
+        container = index.invlists
+        index.replace_invlists(container)
+        D_ref, I_ref = index.search_defer_id_decoding(xq, k, nprobe=4)
+
+    mesh = make_lists_mesh(8)
+    sh = ShardedIVF(mesh, index, container)
+    D, I = sh.search(xq, k, nprobe=4)
+    np.testing.assert_array_equal(I, I_ref)
+    np.testing.assert_allclose(D, D_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_search_device_count_invariant(ivf_setup):
+    """N-device == 1-device results, the §2.4 determinism contract applied
+    to the search path."""
+    from vector_db_id_compression_tpu.parallel.search import ShardedIVF
+    from vector_db_id_compression_tpu.store.invlists import RocInvertedLists
+
+    index, xq = ivf_setup
+    container = RocInvertedLists(index.invlists)
+    index.replace_invlists(container)
+    sh1 = ShardedIVF(make_lists_mesh(1), index, container)
+    sh8 = ShardedIVF(make_lists_mesh(8), index, container)
+    D1, I1 = sh1.search(xq, 10, nprobe=4)
+    D8, I8 = sh8.search(xq, 10, nprobe=4)
+    np.testing.assert_array_equal(I1, I8)
+    np.testing.assert_allclose(D1, D8, rtol=1e-6)

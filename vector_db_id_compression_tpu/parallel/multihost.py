@@ -1,0 +1,79 @@
+"""Multi-host runtime: process bring-up + global 'lists' mesh.
+
+SURVEY.md §2.4 prescribes `jax.distributed.initialize` + sharded list
+processing end-to-end; the sharded programs (parallel.mesh, parallel.search)
+are process-count agnostic — under a multi-process runtime the same
+shard_map code spans all hosts, with the coarse/merge all_gathers and the
+translation psum riding ICI within a slice and DCN across slices.
+
+One process per host, standard JAX multi-process model:
+
+    from vector_db_id_compression_tpu.parallel import multihost
+    multihost.initialize()                  # no-op for a single process
+    mesh = multihost.global_lists_mesh()    # all devices on all hosts
+    ...build ShardedIVF(mesh, ...) exactly as on one host...
+
+Each process feeds only its addressable shard of globally-sharded arrays
+(`host_local_slice` below); results computed after collectives are
+replicated, so every host sees the full (D, I).
+
+This environment has no second host to run against — coverage is the
+8-virtual-device CPU mesh tests plus `__graft_entry__.dryrun_multichip`;
+the initialize() path is exercised in its single-process no-op form.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Bring up the JAX distributed runtime when launched multi-process.
+
+    Arguments default from the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID — also set by TPU pod launchers);
+    with one process and no coordinator configured this is a no-op, so the
+    same driver script runs unchanged on a laptop and on a pod slice.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    num_processes = num_processes if num_processes is not None else int(
+        os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1 and coordinator_address is None:
+        return  # single-process: nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=(process_id if process_id is not None
+                    else int(os.environ.get("JAX_PROCESS_ID", "0"))),
+    )
+
+
+def global_lists_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D 'lists' mesh over every device of every process (jax.devices()
+    is global after initialize())."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.array(devs), axis_names=("lists",))
+
+
+def process_shard_bounds(n_rows: int) -> tuple[int, int]:
+    """[lo, hi) slice of a lists-sharded global array that THIS process must
+    materialize (rows are sharded contiguously, matching parallel.search's
+    shard s owns [s*B_loc, (s+1)*B_loc) layout)."""
+    per = n_rows // jax.process_count()
+    p = jax.process_index()
+    return p * per, (p + 1) * per if p + 1 < jax.process_count() else n_rows
+
+
+def host_local_slice(arr: np.ndarray) -> np.ndarray:
+    """The rows of a global lists-sharded host array this process feeds to
+    jax.make_array_from_process_local_data."""
+    lo, hi = process_shard_bounds(arr.shape[0])
+    return arr[lo:hi]

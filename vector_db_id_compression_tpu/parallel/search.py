@@ -1,0 +1,285 @@
+"""Sharded deferred-ID-decoding IVF search — the whole query path over a
+device mesh.
+
+SURVEY.md §2.4 maps the reference's per-list OpenMP parallelism
+(custom_invlists_impl.cpp:420-525) onto a 1-D "lists" mesh axis; round 1
+sharded only the codec. This module shards the *search* end-to-end in ONE
+shard_map program per query batch:
+
+  coarse:    each shard scores its centroid slice ([nq, d] x [d, B_loc] on
+             the MXU), takes a local top-nprobe, and the per-shard
+             candidates ride ``all_gather`` into a replicated global
+             top-nprobe merge (lexicographic (distance, id) tie-break, so
+             the probe set is independent of the shard count);
+  scan:      each shard scans only ITS probed lists (positional labels,
+             ids untouched), local masked top-k;
+  merge:     ``all_gather`` of per-shard shortlists + replicated
+             (distance, label) merge — the collective replacing the
+             reference's single-threaded heap merge;
+  translate: grouped deferred decoding, sharded — each shard gathers the
+             *touched* subset of its own compressed lists into a static
+             T_cap-lane buffer, runs the batched ANS decode chain on just
+             those lanes, translates the labels it owns, and the shards'
+             partial translations combine with a ``psum`` (every label is
+             owned by exactly one shard).
+
+Lists are sharded contiguously (shard s owns rows [s*B_loc, (s+1)*B_loc)),
+so artifact/list order is deterministic and N-device results match 1-device
+results (asserted in tests/test_parallel.py). Process-count agnostic: under
+``jax.distributed.initialize`` (parallel.multihost) the same program spans
+hosts with the collectives riding ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codecs import roc_device as rd
+from ..store.invlists import InvertedLists, RocInvertedLists
+
+_OFF_MASK = jnp.int64((1 << 32) - 1)
+
+
+class ShardedIVF:
+    """IVF flat/qinco search sharded over a 'lists' mesh.
+
+    ``index`` is a trained search.ivf.IndexIVF with flat or qinco storage;
+    ``container`` selects the ID translation path: None / InvertedLists →
+    raw sharded id table; RocInvertedLists → sharded grouped ANS decode of
+    the touched lists (the deferred-decoding flagship).
+    """
+
+    def __init__(self, mesh: Mesh, index, container=None):
+        assert index.storage in ("flat", "qinco"), "flat/qinco scan only"
+        self.mesh = mesh
+        self.n_shards = mesh.size
+        self.nlist = index.nlist
+        self.d = index.d
+        container = container if container is not None else index.invlists
+        self.container = container
+
+        N = self.n_shards
+        self.nlist_pad = ((self.nlist + N - 1) // N) * N
+        self.b_loc = self.nlist_pad // N
+        lengths = np.zeros(self.nlist_pad, dtype=np.int32)
+        lengths[: self.nlist] = np.asarray(container.lengths, np.int32)
+        self.n_pad = max(int(lengths.max()), 1)
+
+        # scan payload in the ACTIVE container's code order (same invariant
+        # as IndexIVF.replace_invlists)
+        get_codes = (
+            container.get_codes if hasattr(container, "get_codes")
+            else (lambda ln: container.codes[ln])
+        )
+        vecs = np.zeros((self.nlist_pad, self.n_pad, index.d), np.float32)
+        for ln in range(self.nlist):
+            c = np.asarray(get_codes(ln), np.uint8)
+            n = len(c) // index.code_size
+            if n == 0:
+                continue
+            if index.storage == "flat":
+                vecs[ln, :n] = c.view(np.float32).reshape(n, -1)
+            else:  # qinco: linear reconstructions (see search/ivf.py NOTE)
+                rows = c.reshape(n, index.code_size)
+                vecs[ln, :n] = (index.qinco.lin_decode(rows[:, : index.qinco.M])
+                                + index.centroids[ln])
+
+        cents = np.zeros((self.nlist_pad, index.d), np.float32)
+        cents[: self.nlist] = index.centroids
+
+        shard_l = NamedSharding(mesh, P("lists"))
+        self._cents = jax.device_put(jnp.asarray(cents),
+                                     NamedSharding(mesh, P("lists", None)))
+        self._vecs = jax.device_put(
+            jnp.asarray(vecs), NamedSharding(mesh, P("lists", None, None)))
+        self._lengths = jax.device_put(jnp.asarray(lengths), shard_l)
+
+        # ---- translation tables ------------------------------------------
+        if isinstance(container, RocInvertedLists):
+            self._mode = "roc"
+            st, prec = _roc_states_in_list_order(container, self.nlist_pad)
+            spec = rd.RocStates(*(P("lists"),) * 5)
+            self._states = jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                st, spec)
+            self._prec = jax.device_put(jnp.asarray(prec), shard_l)
+            self._n_slices = rd.n_slices_for(int(prec.max(initial=1)))
+        else:
+            self._mode = "raw"
+            ids = np.zeros((self.nlist_pad, self.n_pad), np.uint64)
+            for ln in range(self.nlist):
+                v = (container.ids[ln] if isinstance(container, InvertedLists)
+                     else container.get_ids(ln))
+                ids[ln, : len(v)] = v
+            self._ids = jax.device_put(
+                jnp.asarray(ids), NamedSharding(mesh, P("lists", None)))
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ API
+
+    def search(self, xq: np.ndarray, k: int, nprobe: int):
+        """Deferred-decoding search → (D f32[nq, k], I i64[nq, k]); ids are
+        fully translated, -1 for empty slots. One device program."""
+        xq = np.asarray(xq, np.float32)
+        nq = len(xq)
+        key = (nq, k, nprobe)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(nq, k, nprobe)
+        D, I = self._compiled[key](jnp.asarray(xq))
+        return np.asarray(D), np.asarray(I)
+
+    # ------------------------------------------------------------ the program
+
+    def _build(self, nq: int, k: int, nprobe: int):
+        B_loc, n_pad, d = self.b_loc, self.n_pad, self.d
+        nlist, mode = self.nlist, self._mode
+        T_cap = max(1, min(B_loc, nq * nprobe))
+        np_loc = min(nprobe, B_loc)
+        n_slices = self._n_slices if mode == "roc" else 0
+        pool = rd.default_pool(n_pad) if mode == "roc" else None
+
+        def local(xq, cents_l, vecs_l, lengths_l, *trans):
+            s = jax.lax.axis_index("lists")
+            base = (s * B_loc).astype(jnp.int64)
+            gl = base + jnp.arange(B_loc, dtype=jnp.int64)   # global list ids
+
+            # ---- coarse: local slice scores + replicated global merge ----
+            dots = jnp.dot(xq, cents_l.T, preferred_element_type=jnp.float32)
+            c2 = jnp.sum(cents_l * cents_l, axis=1)
+            cd2 = jnp.where((gl < nlist)[None, :], c2[None, :] - 2.0 * dots,
+                            jnp.inf)
+            loc_d, loc_i = jax.lax.top_k(-cd2, np_loc)       # [nq, np_loc]
+            loc_id = base + loc_i.astype(jnp.int64)
+            all_d = jax.lax.all_gather(-loc_d, "lists")      # [N, nq, np_loc]
+            all_id = jax.lax.all_gather(loc_id, "lists")
+            Ng = all_d.shape[0]
+            cand_d = jnp.moveaxis(all_d, 0, 1).reshape(nq, Ng * np_loc)
+            cand_i = jnp.moveaxis(all_id, 0, 1).reshape(nq, Ng * np_loc)
+            order = jnp.lexsort((cand_i, cand_d), axis=1)[:, :nprobe]
+            probes = jnp.take_along_axis(cand_i, order, axis=1)  # [nq, nprobe]
+
+            # ---- scan: only my probed lists ------------------------------
+            lp = probes - base                                # local or out
+            in_range = (lp >= 0) & (lp < B_loc)
+            probed = jnp.zeros((nq, B_loc), bool).at[
+                jnp.arange(nq)[:, None],
+                jnp.where(in_range, lp, B_loc).astype(jnp.int32),
+            ].set(True, mode="drop")
+            V = vecs_l.reshape(B_loc * n_pad, d)
+            dots2 = jnp.dot(xq, V.T, preferred_element_type=jnp.float32)
+            y2 = jnp.sum(V * V, axis=1)
+            d2 = (y2[None, :] - 2.0 * dots2).reshape(nq, B_loc, n_pad)
+            slot_ok = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+                       < lengths_l[:, None])
+            d2 = jnp.where(probed[:, :, None] & slot_ok[None], d2, jnp.inf)
+            flat_d = d2.reshape(nq, B_loc * n_pad)
+            kk = min(k, B_loc * n_pad)
+            neg, pos = jax.lax.top_k(-flat_d, kk)
+            if kk < k:
+                neg = jnp.pad(neg, ((0, 0), (0, k - kk)),
+                              constant_values=-jnp.inf)
+                pos = jnp.pad(pos, ((0, 0), (0, k - kk)))
+            b_idx = (pos // n_pad).astype(jnp.int64)
+            off = (pos % n_pad).astype(jnp.int64)
+            lab = ((base + b_idx) << 32) | off
+            lab = jnp.where(jnp.isfinite(-neg), lab, jnp.int64(-1))
+
+            # ---- merge: replicated global top-k --------------------------
+            g_d = jnp.moveaxis(jax.lax.all_gather(-neg, "lists"), 0, 1
+                               ).reshape(nq, Ng * k)
+            g_l = jnp.moveaxis(jax.lax.all_gather(lab, "lists"), 0, 1
+                               ).reshape(nq, Ng * k)
+            key_l = jnp.where(g_l < 0, jnp.int64(2**62), g_l)
+            order = jnp.lexsort((key_l, g_d), axis=1)[:, :k]
+            D = jnp.take_along_axis(g_d, order, axis=1)
+            L = jnp.take_along_axis(g_l, order, axis=1)       # [nq, k]
+
+            # ---- translate: grouped decode of MY touched lists -----------
+            lns = L >> 32
+            offs = (L & _OFF_MASK).astype(jnp.int32)
+            lloc = lns - base
+            mine = (L >= 0) & (lloc >= 0) & (lloc < B_loc)
+            touched = jnp.zeros(B_loc, bool).at[
+                jnp.where(mine, lloc, B_loc).astype(jnp.int32)
+            ].set(True, mode="drop")
+            rows = jnp.nonzero(touched, size=T_cap, fill_value=B_loc)[0]
+            row_valid = rows < B_loc
+            rsafe = jnp.minimum(rows, B_loc - 1).astype(jnp.int32)
+            rlen = jnp.where(row_valid, lengths_l[rsafe], 0).astype(jnp.int32)
+            if mode == "roc":
+                states, prec = trans
+                sub = jax.tree_util.tree_map(lambda a: a[rsafe], states)
+                dec, _ = rd.roc_decode_batch(sub, rlen, prec[rsafe], pool,
+                                             n_pad, n_slices)
+            else:
+                (ids_l,) = trans
+                dec = ids_l[rsafe]
+            # local-list -> touched-row inverse map
+            row_of = jnp.full(B_loc + 1, T_cap, jnp.int32).at[
+                jnp.where(row_valid, rsafe, B_loc)
+            ].set(jnp.arange(T_cap, dtype=jnp.int32), mode="drop")
+            r = row_of[jnp.where(mine, lloc, 0).astype(jnp.int32)]
+            found = mine & (r < T_cap)
+            dec_pad = jnp.concatenate(
+                [dec, jnp.zeros((1, n_pad), dec.dtype)], axis=0)
+            vals = dec_pad[jnp.where(found, r, T_cap), offs]
+            part = jnp.where(found, vals.astype(jnp.int64), 0)
+            I = jax.lax.psum(part, "lists")
+            I = jnp.where(L >= 0, I, jnp.int64(-1))
+
+            x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+            D = jnp.where(L >= 0, D + x2, jnp.inf)
+            return D, I
+
+        if mode == "roc":
+            trans_specs = (rd.RocStates(*(P("lists"),) * 5), P("lists"))
+            trans_args = (self._states, self._prec)
+        else:
+            trans_specs = (P("lists"),)
+            trans_args = (self._ids,)
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P("lists"), P("lists"), P("lists"), *trans_specs),
+            out_specs=(P(), P()),
+            check_vma=False,  # replicated outputs are identical by
+            #                   construction (post-all_gather compute)
+        )
+        jitted = jax.jit(lambda xq: fn(xq, self._cents, self._vecs,
+                                       self._lengths, *trans_args))
+        return jitted
+
+
+def _roc_states_in_list_order(c: RocInvertedLists, nlist_pad: int):
+    """Flatten a RocInvertedLists' bucketized states into one global-list-
+    order RocStates batch (stacks padded to the max bucket capacity)."""
+    cap = max(int(np.asarray(st.stack).shape[1]) for st in c._states)
+    head = np.full(nlist_pad, rd.RANS_L, np.uint64)
+    stack = np.zeros((nlist_pad, cap), np.uint32)
+    stack_len = np.zeros(nlist_pad, np.int32)
+    mt_ctr = np.zeros(nlist_pad, np.int32)
+    prec = np.ones(nlist_pad, np.int32)
+    for bi, bucket in enumerate(c._buckets):
+        st = jax.tree_util.tree_map(np.asarray, c._states[bi])
+        pr = np.asarray(c._precisions[bi])
+        for lane, ln in enumerate(bucket.list_ids):
+            ln = int(ln)
+            head[ln] = st.head[lane]
+            w = st.stack.shape[1]
+            stack[ln, :w] = st.stack[lane]
+            stack_len[ln] = st.stack_len[lane]
+            mt_ctr[ln] = st.mt_ctr[lane]
+            prec[ln] = pr[lane]
+    states = rd.RocStates(
+        head=jnp.asarray(head), stack=jnp.asarray(stack),
+        stack_len=jnp.asarray(stack_len), mt_ctr=jnp.asarray(mt_ctr),
+        err=jnp.zeros(nlist_pad, bool),
+    )
+    return states, prec
