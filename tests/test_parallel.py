@@ -104,24 +104,28 @@ def ivf_setup():
     return index, xq
 
 
-@pytest.mark.parametrize("mode", ["raw", "roc"])
+@pytest.mark.parametrize(
+    "mode", ["raw", "roc", "packed-bits", "elias-fano", "wavelet-tree",
+             "wavelet-tree-1"])
 def test_sharded_search_matches_single_device(ivf_setup, mode):
-    """8-device sharded coarse+scan+merge+grouped-translate == the
-    single-device deferred-decoding search (D and I)."""
+    """8-device sharded coarse+scan+merge+translate == the single-device
+    deferred-decoding search (D and I), for every container's translation
+    path (grouped ROC decode, packed/EF random access, replicated WT)."""
     from vector_db_id_compression_tpu.parallel.search import ShardedIVF
-    from vector_db_id_compression_tpu.store.invlists import RocInvertedLists
+    from vector_db_id_compression_tpu.store.invlists import (
+        AVAILABLE_COMPRESSED_IVFS,
+    )
 
     index, xq = ivf_setup
     k = 10
-    if mode == "roc":
-        container = RocInvertedLists(index.invlists)
-        index.replace_invlists(container)
-        D_ref, I_ref = index.search_defer_id_decoding(
-            xq, k, nprobe=4, decode_1by1=False)
-    else:
+    if mode == "raw":
         container = index.invlists
-        index.replace_invlists(container)
-        D_ref, I_ref = index.search_defer_id_decoding(xq, k, nprobe=4)
+    else:
+        container = AVAILABLE_COMPRESSED_IVFS[mode](index.invlists)
+    index.replace_invlists(container)
+    decode_1by1 = getattr(container, "supports_random_access", True)
+    D_ref, I_ref = index.search_defer_id_decoding(
+        xq, k, nprobe=4, decode_1by1=decode_1by1)
 
     mesh = make_lists_mesh(8)
     sh = ShardedIVF(mesh, index, container)

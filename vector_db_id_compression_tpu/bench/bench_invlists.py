@@ -55,9 +55,37 @@ def build_index(ds, index_str: str, niter: int = 20) -> IndexIVF:
     return index
 
 
+def _fused_times(sh, xq, k: int, nprobe: int, pipeline: int = 8):
+    """(one_shot_s, sustained_s) of the fused single-dispatch search
+    (parallel.search.ShardedIVF on a 1-device mesh): one-shot includes the
+    dispatch round trip; sustained is the marginal time of ``pipeline``
+    async back-to-back dispatches (the queue hides the per-call round trip
+    — same methodology as bench.py's codec headline)."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    sh.search(xq, k, nprobe)  # compile + warm
+    jitted = sh._compiled[(len(xq), k, nprobe)]
+    xq_dev = jnp.asarray(np.asarray(xq, np.float32))
+    one = float("inf")
+    for _ in range(3):
+        t0 = _t.time()
+        _, I = jitted(xq_dev)
+        np.asarray(I)
+        one = min(one, _t.time() - t0)
+    t0 = _t.time()
+    outs = [jitted(xq_dev) for _ in range(pipeline)]
+    np.asarray(outs[-1][1])
+    tK = _t.time() - t0
+    sustained = max((tK - one) / (pipeline - 1), 1e-9)
+    return one, sustained
+
+
 def run_bench(ds, index_str: str, runs: int = 100, k: int = 20,
               nprobes=(1, 4, 16), methods: List[str] = METHODS,
-              out_csv: str = "bench_invlists_out.csv") -> List[Dict]:
+              out_csv: str = "bench_invlists_out.csv",
+              fused: bool = False) -> List[Dict]:
     print(f"dataset {ds}  index {index_str}", flush=True)
     index = build_index(ds, index_str)
     xq = ds.get_queries()
@@ -74,6 +102,18 @@ def run_bench(ds, index_str: str, runs: int = 100, k: int = 20,
         containers[m] = fac(source)
         build_time[m] = time.time() - t0
         print(f"  built {m} in {build_time[m]:.2f}s", flush=True)
+
+    fused_sh = {}
+    if fused and index.storage in ("flat", "qinco"):
+        import jax
+        from jax.sharding import Mesh
+
+        from ..parallel.search import ShardedIVF
+
+        mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("lists",))
+        for m in methods:
+            index.replace_invlists(containers[m])
+            fused_sh[m] = ShardedIVF(mesh, index, containers[m])
 
     rows = []
     for m in methods:
@@ -106,11 +146,18 @@ def run_bench(ds, index_str: str, runs: int = 100, k: int = 20,
                 recall_1=recall, build_time=build_time[m],
                 dataset=str(ds), index=index_str, runs=runs,
             )
+            if m in fused_sh:
+                one, sus = _fused_times(fused_sh[m], xq, k, nprobe)
+                row["dt_fused"] = one
+                row["dt_fused_sustained"] = sus
             rows.append(row)
+            extra = (f" fused={row['dt_fused']*1e3:7.2f}ms "
+                     f"sustained={row['dt_fused_sustained']*1e3:7.2f}ms"
+                     if m in fused_sh else "")
             print(f"  {m:15s} nprobe={nprobe:3d} "
                   f"dt={row['dt_search']*1e3:8.2f}ms "
-                  f"bits/id={row['bits_per_id']:6.2f} R@1={recall:.3f}",
-                  flush=True)
+                  f"bits/id={row['bits_per_id']:6.2f} R@1={recall:.3f}"
+                  f"{extra}", flush=True)
             # rewrite the CSV after every point so partial sweeps survive
             # (reference bench_invlists.py:141-146)
             with open(out_csv, "w", newline="") as f:
@@ -139,12 +186,15 @@ def main(argv=None):
     p.add_argument("--fb_ssnpp_dir", default=None)
     p.add_argument("--synth_scale", type=float, default=1.0)
     p.add_argument("--out", default="bench_invlists_out.csv")
+    p.add_argument("--fused", action="store_true",
+                   help="also time the fused single-dispatch search "
+                        "(parallel.search) with pipelined sustained timing")
     a = p.parse_args(argv)
 
     from .datasets import get_dataset
     ds = get_dataset(a.dataset, a.fb_ssnpp_dir, synth_scale=a.synth_scale)
     run_bench(ds, a.index, runs=a.runs, k=a.k, nprobes=tuple(a.nprobe),
-              methods=a.methods, out_csv=a.out)
+              methods=a.methods, out_csv=a.out, fused=a.fused)
 
 
 if __name__ == "__main__":

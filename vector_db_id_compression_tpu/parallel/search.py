@@ -42,7 +42,17 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codecs import roc_device as rd
-from ..store.invlists import InvertedLists, RocInvertedLists
+from ..codecs.elias_fano import EliasFanoBatch, ef_select
+from ..codecs.rrr import RRRPlanes
+from ..codecs.wavelet_tree import WaveletTree, wt_select, wt_select_rrr
+from ..core.bits import BitVectorBatch as _BVB, build_bitvector_batch
+from ..store.invlists import (
+    EliasFanoInvertedLists,
+    InvertedLists,
+    PackedBitsInvertedLists,
+    RocInvertedLists,
+    WaveletTreeInvertedLists,
+)
 
 _OFF_MASK = jnp.int64((1 << 32) - 1)
 
@@ -102,6 +112,11 @@ class ShardedIVF:
         self._lengths = jax.device_put(jnp.asarray(lengths), shard_l)
 
         # ---- translation tables ------------------------------------------
+        # each container maps onto the translate stage differently: ROC is
+        # grouped full-list decode of the touched lanes; packed/EF are O(1)
+        # random access on lane-sharded words; the wavelet tree is one
+        # global structure (replicated, each shard translates the labels it
+        # owns); raw is a sharded id table
         if isinstance(container, RocInvertedLists):
             self._mode = "roc"
             st, prec = _roc_states_in_list_order(container, self.nlist_pad)
@@ -111,6 +126,33 @@ class ShardedIVF:
                 st, spec)
             self._prec = jax.device_put(jnp.asarray(prec), shard_l)
             self._n_slices = rd.n_slices_for(int(prec.max(initial=1)))
+        elif isinstance(container, PackedBitsInvertedLists):
+            self._mode = "packed"
+            self._pb_width = container.bits
+            W = max(
+                int(np.asarray(pb.words).shape[1]) for pb in container._packed)
+            words = np.zeros((self.nlist_pad, W), np.uint32)
+            for ln in range(self.nlist):
+                bi, lane = container._list_to_bucket[ln]
+                w = np.asarray(container._packed[bi].words)[lane]
+                words[ln, : len(w)] = w
+            self._pb_words = jax.device_put(
+                jnp.asarray(words), NamedSharding(mesh, P("lists", None)))
+        elif isinstance(container, EliasFanoInvertedLists):
+            self._mode = "ef"
+            self._ef_arrays = _ef_in_list_order(container, self.nlist_pad,
+                                                mesh)
+        elif isinstance(container, WaveletTreeInvertedLists):
+            self._mode = "wt" if container.wt_type == 0 else "wt1"
+            # global structure over ntotal — replicated across the mesh;
+            # static fields (n, levels) ride the closure, arrays the args
+            wt = container.wt
+            self._wt_static = (wt.n, wt.levels)
+            fields = (wt[:2] if self._mode == "wt"
+                      else (wt.classes, wt.off_words, wt.sb_off_start,
+                            wt.sb_rank))
+            self._wt_arrays = tuple(
+                jax.device_put(a, NamedSharding(mesh, P())) for a in fields)
         else:
             self._mode = "raw"
             ids = np.zeros((self.nlist_pad, self.n_pad), np.uint64)
@@ -144,6 +186,8 @@ class ShardedIVF:
         np_loc = min(nprobe, B_loc)
         n_slices = self._n_slices if mode == "roc" else 0
         pool = rd.default_pool(n_pad) if mode == "roc" else None
+        pb_width = self._pb_width if mode == "packed" else 0
+        wt_static = self._wt_static if mode in ("wt", "wt1") else None
 
         def local(xq, cents_l, vecs_l, lengths_l, *trans):
             s = jax.lax.axis_index("lists")
@@ -201,35 +245,70 @@ class ShardedIVF:
             D = jnp.take_along_axis(g_d, order, axis=1)
             L = jnp.take_along_axis(g_l, order, axis=1)       # [nq, k]
 
-            # ---- translate: grouped decode of MY touched lists -----------
+            # ---- translate: each shard resolves the labels it owns -------
             lns = L >> 32
             offs = (L & _OFF_MASK).astype(jnp.int32)
             lloc = lns - base
             mine = (L >= 0) & (lloc >= 0) & (lloc < B_loc)
-            touched = jnp.zeros(B_loc, bool).at[
-                jnp.where(mine, lloc, B_loc).astype(jnp.int32)
-            ].set(True, mode="drop")
-            rows = jnp.nonzero(touched, size=T_cap, fill_value=B_loc)[0]
-            row_valid = rows < B_loc
-            rsafe = jnp.minimum(rows, B_loc - 1).astype(jnp.int32)
-            rlen = jnp.where(row_valid, lengths_l[rsafe], 0).astype(jnp.int32)
-            if mode == "roc":
-                states, prec = trans
-                sub = jax.tree_util.tree_map(lambda a: a[rsafe], states)
-                dec, _ = rd.roc_decode_batch(sub, rlen, prec[rsafe], pool,
-                                             n_pad, n_slices)
-            else:
-                (ids_l,) = trans
-                dec = ids_l[rsafe]
-            # local-list -> touched-row inverse map
-            row_of = jnp.full(B_loc + 1, T_cap, jnp.int32).at[
-                jnp.where(row_valid, rsafe, B_loc)
-            ].set(jnp.arange(T_cap, dtype=jnp.int32), mode="drop")
-            r = row_of[jnp.where(mine, lloc, 0).astype(jnp.int32)]
-            found = mine & (r < T_cap)
-            dec_pad = jnp.concatenate(
-                [dec, jnp.zeros((1, n_pad), dec.dtype)], axis=0)
-            vals = dec_pad[jnp.where(found, r, T_cap), offs]
+            lane = jnp.where(mine, lloc, 0).astype(jnp.int32)
+            if mode in ("roc", "raw"):
+                # grouped: gather the touched lanes into a static T_cap
+                # buffer, full-list decode (ROC) or table lookup (raw)
+                touched = jnp.zeros(B_loc, bool).at[
+                    jnp.where(mine, lloc, B_loc).astype(jnp.int32)
+                ].set(True, mode="drop")
+                rows = jnp.nonzero(touched, size=T_cap, fill_value=B_loc)[0]
+                row_valid = rows < B_loc
+                rsafe = jnp.minimum(rows, B_loc - 1).astype(jnp.int32)
+                rlen = jnp.where(row_valid, lengths_l[rsafe], 0
+                                 ).astype(jnp.int32)
+                if mode == "roc":
+                    states, prec = trans
+                    sub = jax.tree_util.tree_map(lambda a: a[rsafe], states)
+                    dec, _ = rd.roc_decode_batch(sub, rlen, prec[rsafe],
+                                                 pool, n_pad, n_slices)
+                else:
+                    (ids_l,) = trans
+                    dec = ids_l[rsafe]
+                # local-list -> touched-row inverse map
+                row_of = jnp.full(B_loc + 1, T_cap, jnp.int32).at[
+                    jnp.where(row_valid, rsafe, B_loc)
+                ].set(jnp.arange(T_cap, dtype=jnp.int32), mode="drop")
+                r = row_of[lane]
+                found = mine & (r < T_cap)
+                dec_pad = jnp.concatenate(
+                    [dec, jnp.zeros((1, n_pad), dec.dtype)], axis=0)
+                vals = dec_pad[jnp.where(found, r, T_cap), offs]
+            elif mode == "packed":
+                # O(1) random access on lane-sharded packed words
+                (words_l,) = trans
+                start = offs.astype(jnp.int64) * pb_width
+                w0 = (start >> 5).astype(jnp.int32)
+                sh_b = (start & 31).astype(jnp.uint64)
+                Wp = words_l.shape[1]
+                lo = words_l[lane, jnp.minimum(w0, Wp - 1)].astype(jnp.uint64)
+                hi = words_l[lane, jnp.minimum(w0 + 1, Wp - 1)
+                             ].astype(jnp.uint64)
+                vals = ((lo | (hi << jnp.uint64(32))) >> sh_b) & jnp.uint64(
+                    (1 << pb_width) - 1)
+                found = mine
+            elif mode == "ef":
+                hw, hsb, hnb, lw, el, em = trans
+                ef_l = EliasFanoBatch(
+                    high=_BVB(hw, hsb, hnb), low_words=lw, l=el, m=em)
+                vals = ef_select(ef_l, lane, offs)
+                found = mine
+            else:  # wt / wt1: replicated global tree, select per label
+                sym = jnp.where(mine, lns, 0)
+                if mode == "wt":
+                    words_w, sbp_w = trans
+                    wt = WaveletTree(words_w, sbp_w, *wt_static)
+                    vals = wt_select(wt, sym, offs)
+                else:
+                    cls_w, ow_w, sos_w, sbr_w = trans
+                    rrr = RRRPlanes(cls_w, ow_w, sos_w, sbr_w, *wt_static)
+                    vals = wt_select_rrr(rrr, sym, offs)
+                found = mine
             part = jnp.where(found, vals.astype(jnp.int64), 0)
             I = jax.lax.psum(part, "lists")
             I = jnp.where(L >= 0, I, jnp.int64(-1))
@@ -241,6 +320,15 @@ class ShardedIVF:
         if mode == "roc":
             trans_specs = (rd.RocStates(*(P("lists"),) * 5), P("lists"))
             trans_args = (self._states, self._prec)
+        elif mode == "packed":
+            trans_specs = (P("lists"),)
+            trans_args = (self._pb_words,)
+        elif mode == "ef":
+            trans_specs = (P("lists"),) * 6
+            trans_args = self._ef_arrays
+        elif mode in ("wt", "wt1"):
+            trans_specs = (P(),) * len(self._wt_arrays)
+            trans_args = self._wt_arrays
         else:
             trans_specs = (P("lists"),)
             trans_args = (self._ids,)
@@ -255,6 +343,39 @@ class ShardedIVF:
         jitted = jax.jit(lambda xq: fn(xq, self._cents, self._vecs,
                                        self._lengths, *trans_args))
         return jitted
+
+
+def _ef_in_list_order(c: EliasFanoInvertedLists, nlist_pad: int, mesh: Mesh):
+    """Flatten bucketized EF batches into one global-list-order batch of
+    lane-sharded plain arrays (hw, hsb, hnb, low, l, m)."""
+    HW = max(int(np.asarray(ef.high.words).shape[1]) for ef in c._efs)
+    LW = max(int(np.asarray(ef.low_words).shape[1]) for ef in c._efs)
+    high = np.zeros((nlist_pad, HW), np.uint32)
+    nbits = np.zeros(nlist_pad, np.int32)
+    low = np.zeros((nlist_pad, LW), np.uint32)
+    l = np.zeros(nlist_pad, np.int32)
+    m = np.zeros(nlist_pad, np.int32)
+    for ln in range(c.nlist):
+        bi, lane = c._list_to_bucket[ln]
+        ef = c._efs[bi]
+        hw = np.asarray(ef.high.words)[lane]
+        lw = np.asarray(ef.low_words)[lane]
+        high[ln, : len(hw)] = hw
+        low[ln, : len(lw)] = lw
+        nbits[ln] = int(np.asarray(ef.high.nbits)[lane])
+        l[ln] = int(np.asarray(ef.l)[lane])
+        m[ln] = int(np.asarray(ef.m)[lane])
+    bvb = build_bitvector_batch(jnp.asarray(high), jnp.asarray(nbits))
+    row = NamedSharding(mesh, P("lists"))
+    mat = NamedSharding(mesh, P("lists", None))
+    return (
+        jax.device_put(bvb.words, mat),
+        jax.device_put(bvb.sb_prefix, mat),
+        jax.device_put(bvb.nbits, row),
+        jax.device_put(jnp.asarray(low), mat),
+        jax.device_put(jnp.asarray(l), row),
+        jax.device_put(jnp.asarray(m), row),
+    )
 
 
 def _roc_states_in_list_order(c: RocInvertedLists, nlist_pad: int):

@@ -253,13 +253,13 @@ class RocInvertedLists(CompressedInvertedLists):
             maxp = int(prec.max())
             cap = rd.stack_capacity(n_pad, maxp)
             # the on-chip Pallas encoder is bit-exact with the native/host
-            # encoders but pays a per-bucket-shape Mosaic compile; it wins
-            # for repeated builds (warm cache) or when no C++ toolchain is
-            # present — opt in via VDBIDC_DEVICE_ENCODE=1
+            # encoders (tests/test_roc_encode_pallas.py) and is the DEFAULT
+            # on TPU — the per-bucket-shape Mosaic compile amortizes through
+            # the persistent cache; opt out via VDBIDC_DEVICE_ENCODE=0 (e.g.
+            # one-shot builds on cold caches where host C++ wins)
             use_pallas_enc = False
             if (jax.default_backend() == "tpu"
-                    and (os.environ.get("VDBIDC_DEVICE_ENCODE") == "1"
-                         or not use_native)):
+                    and os.environ.get("VDBIDC_DEVICE_ENCODE") != "0"):
                 from ..ops.roc_encode_pallas import RocPallasEncoder
 
                 use_pallas_enc = RocPallasEncoder.supports(maxp, n_pad)
