@@ -65,20 +65,30 @@ def _fused_times(sh, xq, k: int, nprobe: int, pipeline: int = 8):
 
     import jax.numpy as jnp
 
-    sh.search(xq, k, nprobe)  # compile + warm
-    jitted = sh._compiled[(len(xq), k, nprobe)]
-    xq_dev = jnp.asarray(np.asarray(xq, np.float32))
+    sh.search(xq, k, nprobe)  # compile + warm (may chunk queries)
     one = float("inf")
     for _ in range(3):
         t0 = _t.time()
-        _, I = jitted(xq_dev)
-        np.asarray(I)
+        sh.search(xq, k, nprobe)
         one = min(one, _t.time() - t0)
+    # sustained: pipeline the (single-chunk) program; when the search is
+    # query-chunked, pipeline one chunk and scale by the chunk count
+    nq_c, k_, np_ = next(kk for kk in sh._compiled
+                         if kk[1] == k and kk[2] == nprobe)
+    jitted = sh._compiled[(nq_c, k_, np_)]
+    xq_dev = jnp.asarray(np.asarray(xq[:nq_c], np.float32))
+    if len(xq_dev) < nq_c:
+        xq_dev = jnp.pad(xq_dev, ((0, nq_c - len(xq_dev)), (0, 0)))
+    t0 = _t.time()
+    _, I1 = jitted(xq_dev)
+    np.asarray(I1)
+    t1 = _t.time() - t0
     t0 = _t.time()
     outs = [jitted(xq_dev) for _ in range(pipeline)]
     np.asarray(outs[-1][1])
     tK = _t.time() - t0
-    sustained = max((tK - one) / (pipeline - 1), 1e-9)
+    n_chunks = -(-len(xq) // nq_c)
+    sustained = max((tK - t1) / (pipeline - 1), 1e-9) * n_chunks
     return one, sustained
 
 

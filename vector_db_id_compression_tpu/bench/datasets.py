@@ -27,24 +27,41 @@ from typing import Optional
 import numpy as np
 
 
-def knn_l2(xq: np.ndarray, xb: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
-    """Exact L2 ground truth, blocked matmul on the default JAX device."""
+def knn_l2(xq: np.ndarray, xb: np.ndarray, k: int, block: int = 4096,
+           budget: int = 2 ** 28) -> np.ndarray:
+    """Exact L2 ground truth, blocked matmul on the default JAX device.
+
+    Double-blocked so the distance slab [block_q, slab_b] stays under
+    ``budget`` f32 elements — reference-scale databases (10M+) stream
+    through; per-slab top-k results merge by distance."""
     import jax
     import jax.numpy as jnp
 
-    xb_d = jnp.asarray(xb, jnp.float32)
-    b2 = jnp.sum(xb_d * xb_d, axis=1)
+    nb = len(xb)
+    slab_b = min(nb, max(k, budget // block))
 
     @jax.jit
-    def topk_block(q):
-        d2 = b2[None, :] - 2.0 * jnp.dot(q, xb_d.T,
+    def topk_block(q, xb_slab):
+        b2 = jnp.sum(xb_slab * xb_slab, axis=1)
+        d2 = b2[None, :] - 2.0 * jnp.dot(q, xb_slab.T,
                                          preferred_element_type=jnp.float32)
-        _, idx = jax.lax.top_k(-d2, k)
-        return idx
+        kk = min(k, xb_slab.shape[0])
+        neg, idx = jax.lax.top_k(-d2, kk)
+        return -neg, idx
 
     out = []
     for i in range(0, len(xq), block):
-        out.append(np.asarray(topk_block(jnp.asarray(xq[i:i + block], jnp.float32))))
+        q = jnp.asarray(xq[i:i + block], jnp.float32)
+        best_d, best_i = [], []
+        for s in range(0, nb, slab_b):
+            e = min(s + slab_b, nb)
+            d, idx = topk_block(q, jnp.asarray(xb[s:e], jnp.float32))
+            best_d.append(np.asarray(d))
+            best_i.append(np.asarray(idx) + s)
+        d_all = np.concatenate(best_d, axis=1)
+        i_all = np.concatenate(best_i, axis=1)
+        order = np.argsort(d_all, axis=1)[:, :k]
+        out.append(np.take_along_axis(i_all, order, axis=1))
     return np.concatenate(out, axis=0)
 
 

@@ -32,6 +32,7 @@ hosts with the collectives riding ICI/DCN.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -168,8 +169,30 @@ class ShardedIVF:
 
     def search(self, xq: np.ndarray, k: int, nprobe: int):
         """Deferred-decoding search → (D f32[nq, k], I i64[nq, k]); ids are
-        fully translated, -1 for empty slots. One device program."""
+        fully translated, -1 for empty slots. One device program per query
+        chunk (chunked so the scan's [nq_c, B_loc*n_pad] distance slab stays
+        under ~VDBIDC_SCAN_BUDGET f32 elements per shard)."""
         xq = np.asarray(xq, np.float32)
+        nq = len(xq)
+        budget = int(os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
+        nq_c = max(1, min(nq, budget // max(self.b_loc * self.n_pad, 1)))
+        if nq_c >= nq:
+            return self._search_chunk(xq, k, nprobe)
+        D = np.empty((nq, k), np.float32)
+        I = np.empty((nq, k), np.int64)
+        for qs in range(0, nq, nq_c):
+            qe = min(qs + nq_c, nq)
+            chunk = xq[qs:qe]
+            if qe - qs < nq_c:  # pad the ragged tail to reuse the program
+                chunk = np.concatenate(
+                    [chunk, np.zeros((nq_c - (qe - qs), xq.shape[1]),
+                                     np.float32)])
+            Dc, Ic = self._search_chunk(chunk, k, nprobe)
+            D[qs:qe] = Dc[: qe - qs]
+            I[qs:qe] = Ic[: qe - qs]
+        return D, I
+
+    def _search_chunk(self, xq: np.ndarray, k: int, nprobe: int):
         nq = len(xq)
         key = (nq, k, nprobe)
         if key not in self._compiled:

@@ -155,6 +155,15 @@ def _pad_pow2(n: int, lo: int = 8) -> int:
     return p
 
 
+def _emit_pairs(cand_d, cand_l, q_arr, p_arr, lns, dists, offs):
+    """Scatter one scanned slab of (query, probe) pairs into the candidate
+    tensors, packing positional labels and masking empty slots."""
+    cand_d[q_arr, p_arr] = dists
+    valid = np.isfinite(dists)
+    labels = lo_build(lns[:, None].astype(np.int64), offs.astype(np.int64))
+    cand_l[q_arr, p_arr] = np.where(valid, labels, -1)
+
+
 @dataclass
 class _ScanBucket:
     list_ids: np.ndarray      # i64[B] list numbers
@@ -337,7 +346,15 @@ class IndexIVF:
 
         luts = self.pq.compute_luts(xq_dev) if self.storage == "pq" else None
 
-        # group (query, probe) pairs by scan bucket — all vectorized
+        # group (query, probe) pairs by scan bucket — all vectorized.
+        # Device memory is bounded by chunking: the dense path materializes
+        # [nq_c, B * n_pad] distances and the pair path gathers
+        # [P_c, n_pad, d] payloads, both capped at ~VDBIDC_SCAN_BUDGET f32
+        # elements per dispatch (default 2^28 = 1 GiB) so reference-scale
+        # databases (1M-100M entries) stream through in slabs
+        import os as _os
+
+        budget = int(_os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
         cand_d = np.full((nq, nprobe, k), np.inf, dtype=np.float32)
         cand_l = np.full((nq, nprobe, k), -1, dtype=np.int64)
         b_of = self._bucket_of[probes]                 # i32[nq, nprobe]
@@ -354,19 +371,32 @@ class IndexIVF:
                 # all lanes x all queries in one matmul (see
                 # _scan_flat_allpairs): avoids duplicating each list's
                 # payload once per probing query
-                d_all, o_all = _scan_flat_allpairs(
-                    xq_dev, sb.payload, sb.lengths_dev, k)
-                # gather the probed pairs ON device — fetching the full
-                # [nq, B, k] tensors to host costs far more than the scan
-                qa = jnp.asarray(q_arr)
-                la = jnp.asarray(lanes_np)
-                dists = np.asarray(d_all[qa, la])
-                offs = np.asarray(o_all[qa, la])
-            else:
-                P_pad = _pad_pow2(P)
-                q_idx = np.zeros(P_pad, dtype=np.int32)
-                lanes = np.zeros(P_pad, dtype=np.int32)
-                q_idx[:P], lanes[:P] = q_arr, lanes_np
+                nq_c = max(1, min(nq, budget // max(B * sb.n_pad, 1)))
+                for qs in range(0, nq, nq_c):
+                    qe = min(qs + nq_c, nq)
+                    d_all, o_all = _scan_flat_allpairs(
+                        xq_dev[qs:qe], sb.payload, sb.lengths_dev, k)
+                    m = (q_arr >= qs) & (q_arr < qe)
+                    if not m.any():
+                        continue
+                    # gather the probed pairs ON device — fetching the full
+                    # [nq_c, B, k] tensors to host costs far more than the scan
+                    qa = jnp.asarray(q_arr[m] - qs)
+                    la = jnp.asarray(lanes_np[m])
+                    dists = np.asarray(d_all[qa, la])
+                    offs = np.asarray(o_all[qa, la])
+                    _emit_pairs(cand_d, cand_l, q_arr[m], p_arr[m], lns[m],
+                                dists, offs)
+                continue
+            P_c = _pad_pow2(min(P, max(1, budget // max(
+                sb.n_pad * (self.d if self.storage != "pq" else self.pq.M),
+                1))))
+            for ps in range(0, P, P_c):
+                pe = min(ps + P_c, P)
+                q_idx = np.zeros(P_c, dtype=np.int32)
+                lanes = np.zeros(P_c, dtype=np.int32)
+                q_idx[: pe - ps], lanes[: pe - ps] = (q_arr[ps:pe],
+                                                      lanes_np[ps:pe])
                 pairs = (jnp.asarray(q_idx), jnp.asarray(lanes))
                 if self.storage in ("flat", "qinco"):
                     dists, offs = _scan_flat_bucket(
@@ -376,13 +406,9 @@ class IndexIVF:
                     dists, offs = _scan_pq_bucket(
                         luts, sb.payload, sb.lengths_dev, pairs, k
                     )
-                dists = np.asarray(dists)[:P]
-                offs = np.asarray(offs)[:P]
-            cand_d[q_arr, p_arr] = dists
-            valid = np.isfinite(dists)
-            labels = lo_build(lns[:, None].astype(np.int64),
-                              offs.astype(np.int64))
-            cand_l[q_arr, p_arr] = np.where(valid, labels, -1)
+                _emit_pairs(cand_d, cand_l, q_arr[ps:pe], p_arr[ps:pe],
+                            lns[ps:pe], np.asarray(dists)[: pe - ps],
+                            np.asarray(offs)[: pe - ps])
 
         if self.storage in ("flat", "qinco"):
             # add back the per-query ||x||^2 term for true L2 distances
