@@ -1,0 +1,34 @@
+#!/bin/bash
+# Reference-scale synthetic runs on the real TPU (VERDICT round-2 item 2).
+cd /root/repo
+mkdir -p results
+echo "=== phase 1: 1M P1 sweep (IVF1024,Flat, 6 methods, runs=20, fused) ==="
+python -m vector_db_id_compression_tpu.bench.bench_invlists \
+  --dataset synthetic --synth_scale 10 --index IVF1024,Flat --runs 20 \
+  --nprobe 1 4 16 --fused --out results/bench_invlists_synthetic1m_tpu.csv \
+  || echo "PHASE1 FAILED"
+echo "=== phase 2: 10M QINCo train+add (nlist=4096, M=8) ==="
+python -m vector_db_id_compression_tpu.bench.search_ivf_qinco \
+  --todo train add --dataset synthetic --synth_scale 100 \
+  --workdir /tmp/qinco10m --nlist 4096 --M 8 --ksub 256 --hidden 256 \
+  --qinco_steps 300 --nprobe 64 --nshort 100 --k 100 --runs 1 \
+  || echo "PHASE2 FAILED"
+echo "=== phase 3: 10M QINCo search roc+defer (Table-4 operating point) ==="
+python -m vector_db_id_compression_tpu.bench.search_ivf_qinco \
+  --todo search --dataset synthetic --synth_scale 100 \
+  --workdir /tmp/qinco10m --nlist 4096 --M 8 --ksub 256 --hidden 256 \
+  --id_compression roc --defer_id_decoding \
+  --nprobe 64 --nshort 100 --k 100 --runs 3 \
+  && cp /tmp/qinco10m/search_results.json \
+        results/search_ivf_qinco_synthetic10m_roc_tpu.json \
+  || echo "PHASE3 FAILED"
+echo "=== phase 4: 10M QINCo search baseline (none) ==="
+python -m vector_db_id_compression_tpu.bench.search_ivf_qinco \
+  --todo search --dataset synthetic --synth_scale 100 \
+  --workdir /tmp/qinco10m --nlist 4096 --M 8 --ksub 256 --hidden 256 \
+  --id_compression none --defer_id_decoding \
+  --nprobe 64 --nshort 100 --k 100 --runs 3 \
+  && cp /tmp/qinco10m/search_results.json \
+        results/search_ivf_qinco_synthetic10m_none_tpu.json \
+  || echo "PHASE4 FAILED"
+echo "ALL_DONE"

@@ -251,8 +251,12 @@ class IndexIVF:
             codes = self.pq.encode(x)
         il = InvertedLists(self.nlist, self.code_size)
         base = self.ntotal
+        # one stable argsort instead of nlist full scans (O(n log n) vs
+        # O(n * nlist) — the difference between seconds and hours at 10M)
+        order = np.argsort(a, kind="stable")
+        bounds = np.searchsorted(a[order], np.arange(self.nlist + 1))
         for ln in range(self.nlist):
-            members = np.flatnonzero(a == ln)
+            members = order[bounds[ln]: bounds[ln + 1]]
             il.add_entries(ln, (members + base).astype(np.uint64),
                            codes[members].reshape(-1))
         self.invlists = il

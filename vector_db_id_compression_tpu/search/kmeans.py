@@ -16,12 +16,30 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnums=(2,))
-def assign(x: jax.Array, centroids: jax.Array, block: int = 0) -> jax.Array:
-    """Nearest centroid per row (L2). x [n, d], centroids [k, d] → i32[n]."""
+def _assign_block(x: jax.Array, centroids: jax.Array, block: int = 0) -> jax.Array:
     # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
     dots = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
     c2 = jnp.sum(centroids * centroids, axis=1)
     return jnp.argmin(c2[None, :] - 2.0 * dots, axis=1).astype(jnp.int32)
+
+
+def assign(x, centroids, budget: int = 2 ** 28):
+    """Nearest centroid per row (L2). x [n, d], centroids [k, d] → i32[n].
+    Blocked over rows so the [rows, k] distance slab stays under ``budget``
+    f32 elements (10M x 4096 would otherwise be a 160 GB allocation)."""
+    n, k = x.shape[0], centroids.shape[0]
+    rows = max(1, min(n, budget // max(k, 1)))
+    if rows >= n:
+        return _assign_block(jnp.asarray(x), jnp.asarray(centroids))
+    cent = jnp.asarray(centroids)
+    out = np.empty(n, np.int32)
+    for s in range(0, n, rows):
+        e = min(s + rows, n)
+        xb = jnp.asarray(np.asarray(x[s:e], np.float32))
+        if e - s < rows:  # pad the tail to reuse the compiled block
+            xb = jnp.pad(xb, ((0, rows - (e - s)), (0, 0)))
+        out[s:e] = np.asarray(_assign_block(xb, cent))[: e - s]
+    return jnp.asarray(out)
 
 
 @jax.jit
@@ -42,10 +60,19 @@ def _update(x: jax.Array, assignment: jax.Array, k: int, key: jax.Array, centroi
 
 
 def train_kmeans(
-    x: np.ndarray, k: int, niter: int = 20, seed: int = 1234
+    x: np.ndarray, k: int, niter: int = 20, seed: int = 1234,
+    max_points_per_centroid: int = 256,
 ) -> np.ndarray:
-    """Returns centroids f32[k, d]."""
-    x = jnp.asarray(np.asarray(x, dtype=np.float32))
+    """Returns centroids f32[k, d]. Training subsamples to
+    ``max_points_per_centroid * k`` points (the faiss clustering default) —
+    beyond that extra points don't move the centroids but do cost a full
+    blocked assign per iteration."""
+    x = np.asarray(x, dtype=np.float32)
+    cap = max_points_per_centroid * k
+    if len(x) > cap:
+        sel = np.random.default_rng(seed).choice(len(x), cap, replace=False)
+        x = x[sel]
+    x = jnp.asarray(x)
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     init_idx = jax.random.choice(sub, x.shape[0], (k,), replace=False)
