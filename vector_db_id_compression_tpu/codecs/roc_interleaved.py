@@ -66,6 +66,31 @@ def partition_sizes(n: int, S: int) -> np.ndarray:
     return sizes
 
 
+def chunk_plan(sorted_ids: np.ndarray, S: int):
+    """Shared chunk planning for S-lane interleaving — ONE definition of the
+    (sizes, minima, rebase, precision) contract, used by both the standalone
+    codec below and the container (store.invlists
+    InterleavedRocInvertedLists), so their stream formats can never drift.
+
+    Returns (sizes i64[S], bounds i64[S+1], lo u64[S], prec i32[S],
+    rebased list[S] of u64 chunks)."""
+    sorted_ids = np.asarray(sorted_ids, dtype=np.uint64)
+    sizes = partition_sizes(len(sorted_ids), S)
+    bounds = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+    lo = np.zeros(S, dtype=np.uint64)
+    prec = np.zeros(S, dtype=np.int32)
+    rebased = []
+    for s in range(S):
+        chunk = sorted_ids[bounds[s]: bounds[s + 1]]
+        lo[s] = chunk[0] if len(chunk) else np.uint64(0)
+        rb = chunk - lo[s]
+        prec[s] = (precision_for_max_id_safe(int(rb[-1]))
+                   if len(chunk) > 1 else 1)
+        rebased.append(rb)
+    return sizes, bounds, lo, prec, rebased
+
+
 def interleaved_encode(
     ids: np.ndarray, S: int
 ) -> Tuple[InterleavedRoc, np.ndarray]:
@@ -77,21 +102,12 @@ def interleaved_encode(
     assert n >= S >= 1, (n, S)
     sort_perm = np.argsort(ids, kind="stable")
     sorted_ids = ids[sort_perm]
-    sizes = partition_sizes(n, S)
-    bounds = np.zeros(S + 1, dtype=np.int64)
-    np.cumsum(sizes, out=bounds[1:])
+    sizes, bounds, lo, prec, rebased = chunk_plan(sorted_ids, S)
 
     n_max = int(sizes.max())
     lanes = np.zeros((S, n_max), dtype=np.uint64)
-    lo = np.zeros(S, dtype=np.uint64)
-    prec = np.zeros(S, dtype=np.int32)
     for s in range(S):
-        chunk = sorted_ids[bounds[s]:bounds[s + 1]]
-        lo[s] = chunk[0]
-        rebased = chunk - chunk[0]
-        prec[s] = precision_for_max_id_safe(int(rebased[-1])) if len(chunk) > 1 \
-            else 1
-        lanes[s, : len(chunk)] = rebased
+        lanes[s, : len(rebased[s])] = rebased[s]
 
     cap = rd.stack_capacity(n_max, int(prec.max()))
     pool = rd.default_pool(n_max)

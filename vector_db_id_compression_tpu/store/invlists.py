@@ -511,14 +511,16 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
     def __init__(self, il: InvertedLists, interleave: int = 4,
                  interleave_min: int = 4096):
         super().__init__(il)
-        from ..codecs.roc_interleaved import partition_sizes
+        from ..codecs.roc_interleaved import chunk_plan
 
         assert interleave >= 1
         self.interleave = interleave
         self.codes_all = [np.empty(0, np.uint8)] * il.nlist
         self.id_symbol_precision = np.zeros(il.nlist, dtype=np.int64)
 
-        # expand lists into chunk entries
+        # expand lists into chunk entries; the chunking contract (sizes,
+        # minima, rebase, per-chunk precision) is the codec's chunk_plan —
+        # one definition shared with the standalone interleaved codec
         entries = []  # (ln, chunk_idx, rebased u64[], lo, prec, orig_idx[])
         self._entries_of: Dict[int, List[int]] = {}
         for ln in range(il.nlist):
@@ -529,22 +531,24 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
             perm = np.argsort(v, kind="stable")
             sv = v[perm]
             S = interleave if len(v) >= max(interleave_min, interleave) else 1
-            sizes = partition_sizes(len(v), S)
-            bounds = np.zeros(S + 1, dtype=np.int64)
-            np.cumsum(sizes, out=bounds[1:])
             self.id_symbol_precision[ln] = precision_for_max_id_safe(
                 int(sv[-1]))
+            if S == 1:
+                # bit-exact single-stream reference format: no rebase,
+                # full-id precision
+                sizes = np.array([len(v)], dtype=np.int64)
+                bounds = np.array([0, len(v)], dtype=np.int64)
+                lo_arr = np.zeros(1, dtype=np.uint64)
+                prec_arr = np.array([self.id_symbol_precision[ln]], np.int32)
+                rebased_chunks = [sv]
+            else:
+                sizes, bounds, lo_arr, prec_arr, rebased_chunks = chunk_plan(
+                    sv, S)
             keys = []
             for s in range(S):
-                chunk = sv[bounds[s]:bounds[s + 1]]
-                lo = np.uint64(chunk[0]) if S > 1 else np.uint64(0)
-                rebased = chunk - lo
-                prec = (precision_for_max_id_safe(int(rebased[-1]))
-                        if len(rebased) > 1 or S == 1 else 1)
-                if S == 1:
-                    prec = precision_for_max_id_safe(int(sv[-1]))
                 keys.append(len(entries))
-                entries.append((ln, s, rebased, lo, prec,
+                entries.append((ln, s, rebased_chunks[s], lo_arr[s],
+                                int(prec_arr[s]),
                                 perm[bounds[s]:bounds[s + 1]]))
             self._entries_of[ln] = keys
 
