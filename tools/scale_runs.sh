@@ -1,5 +1,6 @@
 #!/bin/bash
 # Reference-scale synthetic runs on the real TPU (VERDICT round-2 item 2).
+export VDBIDC_COMPILE_CACHE=/root/repo/.jax_cache
 cd /root/repo
 mkdir -p results
 echo "=== phase 1: 1M P1 sweep (IVF1024,Flat, 6 methods, runs=20, fused) ==="
