@@ -46,9 +46,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..codecs import roc_device as rd
-from .roc_pallas import LANE_BLOCK, _sll, _srl, _ult
+from .roc_pallas import LANE_BLOCK, _VMEM_BUDGET, _sll, _srl, _ult
 
 POOL_ROWS = 32  # encode draws a handful of initial-bit words per list
+
+
+def _lane_bytes(n_max: int, capp: int) -> int:
+    """Per-lane scoped-VMEM bytes of one encode grid step: ids_in +
+    order_out + 2 scratch (n_max rows each) + buf_out (capp rows), i32,
+    with in/out blocks counted twice for Mosaic's double buffering."""
+    return (6 * n_max + 2 * capp + 32) * 4
 _RANS_L_I32 = -2147483648  # 2^31 as an i32 bit pattern
 
 
@@ -192,15 +199,15 @@ def _encode_kernel(n_max: int, capp: int):
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def _encode_call(ids, pool, lens, prec, n_max, capp, interpret):
     B = ids.shape[1]
-    # VMEM budget: ids_in + order_out + 2 scratch (n_max rows each) + buf_out
-    # (capp rows), i32 — stay under the ~16M scoped limit with headroom
-    # Mosaic double-buffers grid blocks, so count in/out blocks twice
-    bytes_per_lane = (6 * n_max + 2 * capp + 32) * 4
-    budget = 14 * 2**20
     lane_block = next(
-        lb for lb in (1024, 512, 256)
-        if (B % lb == 0 and bytes_per_lane * lb <= budget) or lb == LANE_BLOCK
+        (lb for lb in (1024, 512, 256, 128)
+         if B % lb == 0 and _lane_bytes(n_max, capp) * lb <= _VMEM_BUDGET),
+        None,
     )
+    if lane_block is None:  # guarded by RocPallasEncoder.supports
+        raise ValueError(
+            f"bucket (n_max={n_max}, capp={capp}) exceeds the Pallas encode "
+            "VMEM envelope at the smallest lane block")
     grid = B // lane_block
     kernel = _encode_kernel(n_max, capp)
     specs_col = lambda shape0: pl.BlockSpec(
@@ -267,7 +274,17 @@ class RocPallasEncoder:
 
     @staticmethod
     def supports(max_precision: int, n_max: int) -> bool:
-        return max_precision <= 32 and n_max < (1 << 16)
+        if not (max_precision <= 32 and n_max < (1 << 16)):
+            return False
+        # the smallest lane block (128) must fit the scoped-VMEM budget —
+        # long-list buckets (n_max in the thousands) exceed it and must take
+        # the native/XLA encode path instead (this gated a compile-time VMEM
+        # OOM in the 1M-id IVF1024 sweep: bucket n_pad 4864 needs ~19 MB/128
+        # lanes vs the ~16 MB scoped limit)
+        n_pad = -(-n_max // 8) * 8
+        capp = -(-(POOL_ROWS + rd.stack_capacity(n_max, max_precision)
+                   + 8) // 8) * 8
+        return _lane_bytes(n_pad, capp) * 128 <= _VMEM_BUDGET
 
     def __init__(self, n_max: int, max_precision: int):
         if not self.supports(max_precision, n_max):

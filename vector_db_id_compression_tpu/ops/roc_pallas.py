@@ -45,6 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..codecs import roc_device as rd
 
 LANE_BLOCK = 256
+
+# scoped-VMEM headroom for one grid step (the hardware limit is ~16 MiB;
+# Mosaic double-buffers grid blocks, so in/out block bytes count twice)
+_VMEM_BUDGET = 14 * 2 ** 20
 POOL_ROWS = 32  # decode rarely draws initial bits; err flag + fallback if exceeded
 
 _I32_MIN = -2147483648  # python int: weak-typed, avoids device-const capture
@@ -248,10 +252,18 @@ def _run_decode(buf, hi, lo, ptr0, lens, prec, n_max, capp, interpret,
     kernel supports precision <= 32, so ids always fit (halves the
     device-to-host bytes on the axon tunnel)."""
     B = buf.shape[1]
-    # widest lane block that divides B: fewer, wider grid blocks
+    # widest lane block that divides B AND fits the scoped-VMEM budget
+    # (in buf [capp] + out emit [n_max], double-buffered, + scratch rows)
     lane_block = next(
-        lb for lb in (1024, 512, 256) if B % lb == 0 or lb == LANE_BLOCK
+        (lb for lb in (1024, 512, 256, 128)
+         if B % lb == 0 and (3 * capp + 3 * n_max + 32) * 4 * lb
+         <= _VMEM_BUDGET),
+        None,
     )
+    if lane_block is None:  # guarded by RocPallasDecoder.supports/__init__
+        raise ValueError(
+            f"bucket (n_max={n_max}, capp={capp}) exceeds the Pallas decode "
+            "VMEM envelope at the smallest lane block")
     emit, hi_f, lo_f, ptr_f, err = _decode_call(
         buf, hi, lo, ptr0, n_max, capp, 2, lens, prec, interpret, lane_block
     )
@@ -305,6 +317,10 @@ class RocPallasDecoder:
         max_len = int(np.max(np.asarray(states.stack_len), initial=0))
         self._capp = -(-(POOL_ROWS + max_len + 8) // 8) * 8
         self._n_max_pad = -(-n_max // 8) * 8
+        if (3 * self._capp + 3 * self._n_max_pad + 32) * 4 * 128 > _VMEM_BUDGET:
+            raise ValueError(
+                f"bucket (n_max={n_max}, capp={self._capp}) exceeds the "
+                "Pallas decode VMEM envelope — use the XLA scan path")
         # compose the kernel inputs ONCE — decode() is then just the kernel,
         # with no per-call prep on the device
         (self._buf, self._hi, self._lo, self._ptr0, self._lens,

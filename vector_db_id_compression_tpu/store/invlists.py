@@ -307,11 +307,14 @@ class RocInvertedLists(CompressedInvertedLists):
             if jax.default_backend() == "cpu":
                 self._pallas[bi] = None
             elif RocPallasDecoder.supports(maxp, bucket.n_pad):
-                self._pallas[bi] = RocPallasDecoder(
-                    self._states[bi], bucket.lengths,
-                    np.asarray(self._precisions[bi]),
-                    rd.default_pool(bucket.n_pad), bucket.n_pad,
-                )
+                try:
+                    self._pallas[bi] = RocPallasDecoder(
+                        self._states[bi], bucket.lengths,
+                        np.asarray(self._precisions[bi]),
+                        rd.default_pool(bucket.n_pad), bucket.n_pad,
+                    )
+                except ValueError:  # long-list bucket outside the VMEM
+                    self._pallas[bi] = None  # envelope → XLA scan path
             else:
                 self._pallas[bi] = None
         return self._pallas[bi]
