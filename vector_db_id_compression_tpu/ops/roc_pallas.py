@@ -254,10 +254,11 @@ def _run_decode(buf, hi, lo, ptr0, lens, prec, n_max, capp, interpret,
     B = buf.shape[1]
     # widest lane block that divides B AND fits the scoped-VMEM budget
     # (in buf [capp] + out emit [n_max], double-buffered, + scratch rows)
+    # per-lane scoped bytes ~ (capp + n_max)*4 (measured; see
+    # roc_encode_pallas._lane_bytes), 5x carries a 25% margin
     lane_block = next(
         (lb for lb in (1024, 512, 256, 128)
-         if B % lb == 0 and (3 * capp + 3 * n_max + 32) * 4 * lb
-         <= _VMEM_BUDGET),
+         if B % lb == 0 and (capp + n_max) * 5 * lb <= _VMEM_BUDGET),
         None,
     )
     if lane_block is None:  # guarded by RocPallasDecoder.supports/__init__
@@ -317,7 +318,7 @@ class RocPallasDecoder:
         max_len = int(np.max(np.asarray(states.stack_len), initial=0))
         self._capp = -(-(POOL_ROWS + max_len + 8) // 8) * 8
         self._n_max_pad = -(-n_max // 8) * 8
-        if (3 * self._capp + 3 * self._n_max_pad + 32) * 4 * 128 > _VMEM_BUDGET:
+        if (self._capp + self._n_max_pad) * 5 * 128 > _VMEM_BUDGET:
             raise ValueError(
                 f"bucket (n_max={n_max}, capp={self._capp}) exceeds the "
                 "Pallas decode VMEM envelope — use the XLA scan path")
