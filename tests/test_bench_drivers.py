@@ -82,3 +82,22 @@ def test_generate_edgelists(tiny, tmp_path):
     assert len(files) == 2
     line = files[0].read_text().splitlines()[0].split()
     assert len(line) == 2 and all(t.isdigit() for t in line)
+
+
+def test_hnsw_bench(tiny, tmp_path):
+    from vector_db_id_compression_tpu.bench.hnsw_bench import (
+        run_bench as hnsw_bench,
+    )
+
+    out = tmp_path / "hnsw.csv"
+    rows = hnsw_bench(tiny, M=8, runs=1, k=5, ef=24, out_csv=str(out))
+    assert {r["method"] for r in rows} == {"ref", "compact", "elias-fano",
+                                           "roc"}
+    # lossless adjacency: identical recall across containers
+    recalls = {r["recall_1"] for r in rows}
+    assert len(recalls) == 1
+    for r in rows:
+        if r["method"] != "ref":
+            assert r["bits_per_edge"] < 32.0
+    with open(out) as f:
+        assert len(list(csv.DictReader(f))) == 4

@@ -195,7 +195,10 @@ class QincoCodec:
             cache[name] = jax.jit(fn)
         return cache[name]
 
-    def encode(self, x: np.ndarray, batch: int = 4096) -> np.ndarray:
+    def encode(self, x: np.ndarray, batch: int = 16384) -> np.ndarray:
+        # batch sizes the [batch, ksub, d] codebook tensor (~512 MB at the
+        # default); bigger batches amortize the per-dispatch round trip,
+        # which dominates multi-million-vector adds on remote-TPU rigs
         enc = self._jitted("encode",
                            lambda xb: self._apply(Qinco.encode, xb)[0])
         out = []
