@@ -52,11 +52,12 @@ POOL_ROWS = 32  # encode draws a handful of initial-bit words per list
 
 
 def _lane_bytes(n_max: int, capp: int) -> int:
-    """Per-lane scoped-VMEM bytes of one encode grid step. Calibrated
-    against Mosaic's reported scoped allocation (the n_max=4864/capp=3688/
-    lane=1024 compile reported 35.77M ≈ (n_max+capp)*4*lane); the 5x
-    multiplier carries a 25% margin over that measurement."""
-    return (n_max + capp) * 5
+    """Per-lane scoped-VMEM bytes of one encode grid step: ids_in +
+    order_out + 2 scratch (n_max rows each), double-buffered in/out, +
+    buf_out (capp rows). Calibrated against two Mosaic scoped-OOM reports:
+    n=4864/c=3688 -> 139.7 KB/lane at 256 lanes, n=11168/c=9816 ->
+    330.8 KB/lane at 128 lanes — both within 5% of this formula."""
+    return (6 * n_max + 2 * capp + 32) * 4
 _RANS_L_I32 = -2147483648  # 2^31 as an i32 bit pattern
 
 

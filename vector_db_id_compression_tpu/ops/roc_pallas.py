@@ -49,6 +49,11 @@ LANE_BLOCK = 256
 # scoped-VMEM headroom for one grid step (the hardware limit is ~16 MiB;
 # Mosaic double-buffers grid blocks, so in/out block bytes count twice)
 _VMEM_BUDGET = 14 * 2 ** 20
+
+
+def _dec_lane_bytes(n_max: int, capp: int) -> int:
+    """Per-lane scoped-VMEM bytes of one decode grid step."""
+    return (2 * capp + 2 * n_max + 32) * 4
 POOL_ROWS = 32  # decode rarely draws initial bits; err flag + fallback if exceeded
 
 _I32_MIN = -2147483648  # python int: weak-typed, avoids device-const capture
@@ -254,11 +259,12 @@ def _run_decode(buf, hi, lo, ptr0, lens, prec, n_max, capp, interpret,
     B = buf.shape[1]
     # widest lane block that divides B AND fits the scoped-VMEM budget
     # (in buf [capp] + out emit [n_max], double-buffered, + scratch rows)
-    # per-lane scoped bytes ~ (capp + n_max)*4 (measured; see
-    # roc_encode_pallas._lane_bytes), 5x carries a 25% margin
+    # per-lane scoped bytes: in buf [capp] + out emit [n_max], each
+    # double-buffered across grid steps, + scratch (capp + n_max rows)
     lane_block = next(
         (lb for lb in (1024, 512, 256, 128)
-         if B % lb == 0 and (capp + n_max) * 5 * lb <= _VMEM_BUDGET),
+         if B % lb == 0 and _dec_lane_bytes(n_max, capp) * lb
+         <= _VMEM_BUDGET),
         None,
     )
     if lane_block is None:  # guarded by RocPallasDecoder.supports/__init__
@@ -318,7 +324,7 @@ class RocPallasDecoder:
         max_len = int(np.max(np.asarray(states.stack_len), initial=0))
         self._capp = -(-(POOL_ROWS + max_len + 8) // 8) * 8
         self._n_max_pad = -(-n_max // 8) * 8
-        if (self._capp + self._n_max_pad) * 5 * 128 > _VMEM_BUDGET:
+        if _dec_lane_bytes(self._n_max_pad, self._capp) * 128 > _VMEM_BUDGET:
             raise ValueError(
                 f"bucket (n_max={n_max}, capp={self._capp}) exceeds the "
                 "Pallas decode VMEM envelope — use the XLA scan path")

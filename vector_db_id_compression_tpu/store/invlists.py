@@ -323,7 +323,11 @@ class RocInvertedLists(CompressedInvertedLists):
         def decode_fn(bi, lanes, n_pad):
             dec = self._pallas_decoder(bi)
             if dec is not None:
-                ids, ok = dec.decode_lanes(lanes)
+                try:
+                    ids, ok = dec.decode_lanes(lanes)
+                except Exception:  # Mosaic compile outside the envelope —
+                    self._pallas[bi] = None  # permanently take the scan path
+                    ok = False
                 if ok:
                     return ids
             bucket = self._buckets[bi]
