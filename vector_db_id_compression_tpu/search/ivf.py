@@ -102,22 +102,46 @@ def _scan_flat_bucket(xq, vecs, lengths, pairs, k):
 # sub-second on synthetic-100k at nq=1000, nprobe=32.
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _scan_flat_allpairs(xq, vecs, lengths, k):
+@partial(jax.jit, static_argnums=(3, 4))
+def _scan_flat_allpairs(xq, vecs, lengths, k, slab=0):
     """Dense variant: distances from EVERY query to EVERY lane of the bucket
-    in one [nq, B*n_pad] matmul + per-(q, lane) top-k. When most lanes are
+    as [nq, slab*n_pad] matmuls + per-(q, lane) top-k. When most lanes are
     probed by many queries this beats the per-pair kernel, whose vecs[lane]
-    gather duplicates each list's payload once per probing query."""
+    gather duplicates each list's payload once per probing query.
+
+    ``slab`` > 0 processes the lanes in slabs via ``lax.map`` INSIDE the one
+    device program — the payload streams through HBM exactly once and the
+    peak distance buffer is [nq, slab, n_pad], so reference-scale buckets
+    (10M+ entries) scan in a single dispatch."""
     B, n_pad, d = vecs.shape
-    V = vecs.reshape(B * n_pad, d)
-    dots = jnp.dot(xq, V.T, preferred_element_type=jnp.float32)
-    y2 = jnp.sum(V * V, axis=1)
-    d2 = (y2[None, :] - 2.0 * dots).reshape(xq.shape[0], B, n_pad)
-    mask = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
-            >= lengths[:, None])[None]
-    d2 = jnp.where(mask, jnp.inf, d2)
+    nq = xq.shape[0]
     kk = min(k, n_pad)
-    neg, offs = jax.lax.top_k(-d2, kk)          # [nq, B, kk]
+
+    def scan_slab(args):
+        vecs_s, len_s = args                   # [S, n_pad, d], [S]
+        S = vecs_s.shape[0]
+        V = vecs_s.reshape(S * n_pad, d)
+        dots = jnp.dot(xq, V.T, preferred_element_type=jnp.float32)
+        y2 = jnp.sum(V * V, axis=1)
+        d2 = (y2[None, :] - 2.0 * dots).reshape(nq, S, n_pad)
+        mask = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+                >= len_s[:, None])[None]
+        d2 = jnp.where(mask, jnp.inf, d2)
+        return jax.lax.top_k(-d2, kk)          # [nq, S, kk] x2
+
+    if slab and slab < B:
+        Bp = -(-B // slab) * slab
+        vecs_p = jnp.pad(vecs, ((0, Bp - B), (0, 0), (0, 0)))
+        len_p = jnp.pad(lengths, (0, Bp - B))
+        neg, offs = jax.lax.map(
+            scan_slab,
+            (vecs_p.reshape(Bp // slab, slab, n_pad, d),
+             len_p.reshape(Bp // slab, slab)),
+        )                                       # [n_slabs, nq, slab, kk]
+        neg = jnp.moveaxis(neg, 0, 1).reshape(nq, Bp, kk)[:, :B]
+        offs = jnp.moveaxis(offs, 0, 1).reshape(nq, Bp, kk)[:, :B]
+    else:
+        neg, offs = scan_slab((vecs, lengths))
     if kk < k:
         neg = jnp.pad(neg, ((0, 0), (0, 0), (0, k - kk)),
                       constant_values=-jnp.inf)
@@ -369,28 +393,26 @@ class IndexIVF:
             lanes_np = self._lane_of[lns]
             P = len(q_arr)
             B = len(sb.list_ids)
+            # dense wins when most lanes are multiply probed (the pair path
+            # re-gathers a list's payload once per probing query, P/B times
+            # on average) or when queries outnumber the pair advantage
             dense = (self.storage in ("flat", "qinco")
-                     and nq * B <= 8 * P)
+                     and (nq * B <= 8 * P or P > 2 * B))
             if dense:
-                # all lanes x all queries in one matmul (see
-                # _scan_flat_allpairs): avoids duplicating each list's
-                # payload once per probing query
-                nq_c = max(1, min(nq, budget // max(B * sb.n_pad, 1)))
-                for qs in range(0, nq, nq_c):
-                    qe = min(qs + nq_c, nq)
-                    d_all, o_all = _scan_flat_allpairs(
-                        xq_dev[qs:qe], sb.payload, sb.lengths_dev, k)
-                    m = (q_arr >= qs) & (q_arr < qe)
-                    if not m.any():
-                        continue
-                    # gather the probed pairs ON device — fetching the full
-                    # [nq_c, B, k] tensors to host costs far more than the scan
-                    qa = jnp.asarray(q_arr[m] - qs)
-                    la = jnp.asarray(lanes_np[m])
-                    dists = np.asarray(d_all[qa, la])
-                    offs = np.asarray(o_all[qa, la])
-                    _emit_pairs(cand_d, cand_l, q_arr[m], p_arr[m], lns[m],
-                                dists, offs)
+                # all lanes x all queries (see _scan_flat_allpairs): the
+                # payload streams through HBM once; lane slabs inside the
+                # one program keep the distance buffer under the budget
+                slab = max(1, budget // max(nq * sb.n_pad, 1))
+                d_all, o_all = _scan_flat_allpairs(
+                    xq_dev, sb.payload, sb.lengths_dev, k,
+                    slab if B > slab else 0)
+                # gather the probed pairs ON device — fetching the full
+                # [nq, B, k] tensors to host costs far more than the scan
+                qa = jnp.asarray(q_arr)
+                la = jnp.asarray(lanes_np)
+                dists = np.asarray(d_all[qa, la])
+                offs = np.asarray(o_all[qa, la])
+                _emit_pairs(cand_d, cand_l, q_arr, p_arr, lns, dists, offs)
                 continue
             P_c = _pad_pow2(min(P, max(1, budget // max(
                 sb.n_pad * (self.d if self.storage != "pq" else self.pq.M),
