@@ -294,42 +294,11 @@ class RocInvertedLists(CompressedInvertedLists):
             )
         self._pallas = {}  # bucket -> RocPallasDecoder, built lazily
 
-    def _pallas_decoder(self, bi):
-        """Per-bucket Pallas decoder (the VMEM-resident fast path), or None
-        when the bucket is outside the kernel's envelope."""
-        if bi not in self._pallas:
-            from ..ops.roc_pallas import RocPallasDecoder
-
-            bucket = self._buckets[bi]
-            maxp = int(np.asarray(self._precisions[bi]).max())
-            # the Mosaic kernel needs a TPU; on CPU the XLA scan path is the
-            # compiled fast path (Pallas interpret mode is test-only)
-            if jax.default_backend() == "cpu":
-                self._pallas[bi] = None
-            elif RocPallasDecoder.supports(maxp, bucket.n_pad):
-                try:
-                    self._pallas[bi] = RocPallasDecoder(
-                        self._states[bi], bucket.lengths,
-                        np.asarray(self._precisions[bi]),
-                        rd.default_pool(bucket.n_pad), bucket.n_pad,
-                    )
-                except ValueError:  # long-list bucket outside the VMEM
-                    self._pallas[bi] = None  # envelope → XLA scan path
-            else:
-                self._pallas[bi] = None
-        return self._pallas[bi]
-
     def decode_lists(self, list_nos):
         def decode_fn(bi, lanes, n_pad):
-            dec = self._pallas_decoder(bi)
-            if dec is not None:
-                try:
-                    ids, ok = dec.decode_lanes(lanes)
-                except Exception:  # Mosaic compile outside the envelope —
-                    self._pallas[bi] = None  # permanently take the scan path
-                    ok = False
-                if ok:
-                    return ids
+            ids = _pallas_decode_lanes(self, bi, lanes)
+            if ids is not None:
+                return ids
             bucket = self._buckets[bi]
             states = _gather_lanes(self._states[bi], lanes)
             lengths = jnp.asarray(bucket.lengths[lanes])
@@ -347,6 +316,42 @@ def _reorder_codes(codes_flat: np.ndarray, order: np.ndarray, code_size: int) ->
     if code_size == 0 or len(codes_flat) == 0:
         return np.empty(0, dtype=np.uint8)
     return codes_flat.reshape(-1, code_size)[order].reshape(-1).copy()
+
+
+def _pallas_decode_lanes(container, bi, lanes):
+    """Shared per-bucket Pallas decode fast path (RocInvertedLists and
+    InterleavedRocInvertedLists): lazily build and cache the VMEM-resident
+    decoder, or record None when the bucket is outside the kernel's
+    envelope (CPU backend, precision/length limits, scoped-VMEM budget) —
+    callers then take the XLA scan path. Returns ids or None."""
+    if bi not in container._pallas:
+        from ..ops.roc_pallas import RocPallasDecoder
+
+        bucket = container._buckets[bi]
+        maxp = int(np.asarray(container._precisions[bi]).max())
+        dec = None
+        # the Mosaic kernel needs a TPU; on CPU the XLA scan path is the
+        # compiled fast path (Pallas interpret mode is test-only)
+        if (jax.default_backend() != "cpu"
+                and RocPallasDecoder.supports(maxp, bucket.n_pad)):
+            try:
+                dec = RocPallasDecoder(
+                    container._states[bi], bucket.lengths,
+                    np.asarray(container._precisions[bi]),
+                    rd.default_pool(bucket.n_pad), bucket.n_pad,
+                )
+            except ValueError:
+                dec = None
+        container._pallas[bi] = dec
+    dec = container._pallas[bi]
+    if dec is None:
+        return None
+    try:
+        ids, ok = dec.decode_lanes(lanes)
+    except Exception:  # Mosaic compile failure outside the envelope —
+        container._pallas[bi] = None  # permanently take the scan path
+        return None
+    return ids if ok else None
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +568,7 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
         self._ent_lo = np.array([e[3] for e in entries], dtype=np.uint64)
         self._ent_len = ent_lengths.astype(np.int32)
         self._buckets = bucketize(ent_lengths)
+        self._pallas = {}  # bucket -> RocPallasDecoder, built lazily
         self._states: List[rd.RocStates] = []
         self._precisions: List[jax.Array] = []
         self._ent_to_bucket: Dict[int, Tuple[int, int]] = {}
@@ -615,13 +621,15 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
             bucket = self._buckets[bi]
             lanes = np.array([self._ent_to_bucket[e][1] for e in ents],
                              dtype=np.int64)
-            states = _gather_lanes(self._states[bi], lanes)
-            lengths = jnp.asarray(bucket.lengths[lanes])
-            prec = self._precisions[bi][jnp.asarray(lanes)]
-            n_pad = bucket.n_pad
-            ids, _ = rd.roc_decode_batch(
-                states, lengths, prec, rd.default_pool(n_pad), n_pad,
-                rd.n_slices_for(int(np.asarray(prec).max())))
+            ids = _pallas_decode_lanes(self, bi, lanes)
+            if ids is None:
+                states = _gather_lanes(self._states[bi], lanes)
+                lengths = jnp.asarray(bucket.lengths[lanes])
+                prec = self._precisions[bi][jnp.asarray(lanes)]
+                n_pad = bucket.n_pad
+                ids, _ = rd.roc_decode_batch(
+                    states, lengths, prec, rd.default_pool(n_pad), n_pad,
+                    rd.n_slices_for(int(np.asarray(prec).max())))
             ids_np = np.asarray(ids)
             for row, e in enumerate(ents):
                 n = int(self._ent_len[e])

@@ -165,9 +165,9 @@ def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
         c.id_symbol_precision = z["id_symbol_precision"]
         buckets, l2b = load_buckets()
         c._buckets = buckets
+        c._pallas = {}
         if kind == "roc":
             c._list_to_bucket = l2b
-            c._pallas = {}
         else:
             c._ent_to_bucket = l2b
             c._ent_lo = z["ent_lo"]
