@@ -95,12 +95,30 @@ def ivf_setup():
     from vector_db_id_compression_tpu.search.ivf import IndexIVF
 
     rng = np.random.default_rng(5)
-    d, nlist, nb, nq = 16, 24, 1500, 40
+    # nlist > distinct-cluster count so some lists are EMPTY (the 1M sweep
+    # exposed the empty-list case in the sharded translation tables)
+    d, nlist, nb, nq = 16, 48, 900, 40
     xb = rng.normal(size=(nb, d)).astype(np.float32)
     xq = rng.normal(size=(nq, d)).astype(np.float32)
     index = IndexIVF(d, nlist, storage="flat", nprobe=4)
-    index.train(xb[:800])
+    index.train(xb[:400])
     index.add(xb)
+    # force an EMPTY list (the 1M sweep exposed empty-list handling in the
+    # sharded translation tables): merge the smallest list into the largest,
+    # keeping per-list ids ascending with codes aligned
+    il = index.invlists
+    src = int(np.argmin(np.where(il.lengths > 0, il.lengths, 1 << 30)))
+    dst = int(np.argmax(il.lengths))
+    cs = il.code_size
+    ids = np.concatenate([il.ids[dst], il.ids[src]])
+    codes = np.concatenate([il.codes[dst].reshape(-1, cs),
+                            il.codes[src].reshape(-1, cs)])
+    order = np.argsort(ids, kind="stable")
+    il.ids[dst], il.codes[dst] = ids[order], codes[order].reshape(-1)
+    il.ids[src] = np.empty(0, np.uint64)
+    il.codes[src] = np.empty(0, np.uint8)
+    index.replace_invlists(il)
+    assert (il.lengths == 0).any()
     return index, xq
 
 

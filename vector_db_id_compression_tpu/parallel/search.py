@@ -134,6 +134,8 @@ class ShardedIVF:
                 int(np.asarray(pb.words).shape[1]) for pb in container._packed)
             words = np.zeros((self.nlist_pad, W), np.uint32)
             for ln in range(self.nlist):
+                if ln not in container._list_to_bucket:
+                    continue  # empty list: no packed words, never queried
                 bi, lane = container._list_to_bucket[ln]
                 w = np.asarray(container._packed[bi].words)[lane]
                 words[ln, : len(w)] = w
@@ -379,6 +381,8 @@ def _ef_in_list_order(c: EliasFanoInvertedLists, nlist_pad: int, mesh: Mesh):
     l = np.zeros(nlist_pad, np.int32)
     m = np.zeros(nlist_pad, np.int32)
     for ln in range(c.nlist):
+        if ln not in c._list_to_bucket:
+            continue  # empty list: m=0 lanes are never select()ed
         bi, lane = c._list_to_bucket[ln]
         ef = c._efs[bi]
         hw = np.asarray(ef.high.words)[lane]
