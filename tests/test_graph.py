@@ -13,8 +13,13 @@ from vector_db_id_compression_tpu.store.graph import (
     CompactBitGraph,
     EliasFanoGraph,
     Graph,
+    RocBlockGraph,
     RocGraph,
 )
+
+def _roc_block8(g):
+    return RocBlockGraph(g, block=8)
+
 
 N, D_, NQ, K, R = 600, 12, 20, 5, 12
 
@@ -52,7 +57,8 @@ def test_search_recall(setup):
     assert recall > 0.85, f"graph search recall@{K}: {recall}"
 
 
-@pytest.mark.parametrize("variant", [CompactBitGraph, EliasFanoGraph, RocGraph])
+@pytest.mark.parametrize("variant", [CompactBitGraph, EliasFanoGraph,
+                                     RocGraph, _roc_block8])
 def test_neighbor_set_parity(setup, variant):
     xb, xq, graph, medoid = setup
     comp = variant(graph)
@@ -65,7 +71,8 @@ def test_neighbor_set_parity(setup, variant):
         assert counts[i] == graph.degrees[node]
 
 
-@pytest.mark.parametrize("variant", [CompactBitGraph, EliasFanoGraph, RocGraph])
+@pytest.mark.parametrize("variant", [CompactBitGraph, EliasFanoGraph,
+                                     RocGraph, _roc_block8])
 def test_compressed_search_bit_identical(setup, variant):
     """Same neighbor sets => bit-identical search results
     (reference test_altid.py:43-44)."""
@@ -100,3 +107,24 @@ def test_trace_contains_results(setup):
         for v in I[q]:
             if v >= 0:
                 assert int(v) in vset
+
+
+def test_roc_block_amortizes_head(setup):
+    """Chaining a block through one ANS state amortizes the 8-byte head +
+    stack word rounding: the blocked container must be markedly smaller than
+    per-node ROC, and block=1 must reproduce the per-node streams exactly."""
+    xb, xq, graph, medoid = setup
+    roc = RocGraph(graph)
+    blk = RocBlockGraph(graph, block=8)
+    per_node_head = 8 * N  # bytes of ANS heads alone in the per-node format
+    assert (blk.compressed_ids_size_in_bytes
+            < roc.compressed_ids_size_in_bytes - per_node_head // 2)
+
+    one = RocBlockGraph(graph, block=1)
+    st1, st0 = one._states, roc._states
+    np.testing.assert_array_equal(np.asarray(st1.head), np.asarray(st0.head))
+    np.testing.assert_array_equal(np.asarray(st1.stack_len),
+                                  np.asarray(st0.stack_len))
+    l = int(np.asarray(st0.stack_len).max())
+    np.testing.assert_array_equal(np.asarray(st1.stack)[:, :l],
+                                  np.asarray(st0.stack)[:, :l])

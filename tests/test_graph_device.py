@@ -11,6 +11,7 @@ from vector_db_id_compression_tpu.search.nsg import build_nsg, search_graph
 from vector_db_id_compression_tpu.store.graph import (
     CompactBitGraph,
     EliasFanoGraph,
+    RocBlockGraph,
     RocGraph,
 )
 
@@ -28,7 +29,8 @@ def setup():
 
 
 @pytest.mark.parametrize("container", [None, CompactBitGraph, EliasFanoGraph,
-                                       RocGraph])
+                                       RocGraph,
+                                       lambda g: RocBlockGraph(g, block=4)])
 def test_device_matches_host(setup, container):
     xb, xq, graph, medoid, D_h, I_h = setup
     g = graph if container is None else container(graph)

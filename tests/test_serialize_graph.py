@@ -10,6 +10,7 @@ from vector_db_id_compression_tpu.store.graph import (
     CompactBitGraph,
     EliasFanoGraph,
     Graph,
+    RocBlockGraph,
     RocGraph,
 )
 from vector_db_id_compression_tpu.store.serialize import load_graph, save_graph
@@ -27,7 +28,8 @@ def setup():
 
 
 @pytest.mark.parametrize("factory", [lambda g: g, CompactBitGraph,
-                                     EliasFanoGraph, RocGraph])
+                                     EliasFanoGraph, RocGraph,
+                                     lambda g: RocBlockGraph(g, block=8)])
 def test_graph_round_trip(setup, factory, tmp_path):
     xb, xq, graph, medoid = setup
     g = factory(graph)

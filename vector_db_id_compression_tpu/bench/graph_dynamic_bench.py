@@ -24,16 +24,20 @@ import numpy as np
 
 from ..search.graph_device import search_graph_device
 from ..search.nsg import build_nsg, search_graph
-from ..store.graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
+from ..store.graph import (CompactBitGraph, EliasFanoGraph, Graph,
+                           RocBlockGraph, RocGraph)
 
 METHOD_MAP = {
     "ref": lambda g: g,
     "compact": CompactBitGraph,
     "elias-fano": EliasFanoGraph,
     "roc": RocGraph,
+    # framework extension: chained ANS per 16-node block amortizes the
+    # 8-byte per-node head that dominates ROC's rate at NSG degrees
+    "roc-block": lambda g: RocBlockGraph(g, block=16),
 }
 
-METHODS = ["ref", "compact", "elias-fano", "roc"]
+METHODS = ["ref", "compact", "elias-fano", "roc", "roc-block"]
 
 
 def _sustained_device(g, xb, xq, k, medoid, pipeline: int = 8):

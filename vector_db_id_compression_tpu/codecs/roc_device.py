@@ -329,6 +329,59 @@ def roc_decode_batch(states: RocStates, lengths, precision, pool, n_max: int,
 
 
 # ---------------------------------------------------------------------------
+# chained (multi-multiset) coding through ONE threaded ANS state per lane.
+# ANS is a bijection on states, so S multisets can share a lane's state
+# sequentially: encode slot S-1 ... 0, then decode emits slot 0 first. This
+# amortizes the 8-byte head + stack word rounding that dominate the per-node
+# ROC rate at small list sizes (altid_impl.cpp:103-165 pays them per node).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(5,))
+def roc_encode_chained(sorted_ids, lengths, precision, pool,
+                       states: RocStates, n_slices: int = 4):
+    """Encode S multisets per lane through one threaded state.
+
+    Args:
+      sorted_ids: u64[B, S, n_max] — slot ids ascending in [0:lengths[b, s]).
+      lengths, precision: i32[B, S] per-slot sizes / symbol bit widths.
+
+    Slot S-1 is pushed first so that chained decode pops slot 0 first.
+    Returns the final states (sampling orders are discarded — chained storage
+    has no per-slot payload co-reordering; callers that need it should use
+    ``roc_encode_batch`` per slot).
+    """
+
+    def step(st, inp):
+        ids_s, len_s, prec_s = inp
+        st, _ = roc_encode_batch(ids_s, len_s, prec_s, pool, st, n_slices)
+        return st, None
+
+    xs = (jnp.flip(jnp.swapaxes(sorted_ids, 0, 1), axis=0),
+          jnp.flip(lengths.T, axis=0), jnp.flip(precision.T, axis=0))
+    states, _ = jax.lax.scan(step, states, xs)
+    return states
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def roc_decode_chained(states: RocStates, lengths, precision, pool,
+                       n_max: int, n_slices: int = 4):
+    """Inverse of ``roc_encode_chained``: decode S multisets per lane.
+
+    Returns (ids, states): ids u64[B, S, n_max] in per-slot encode sampling
+    order, zero-padded beyond each slot's length; slot 0 decodes first.
+    """
+
+    def step(st, inp):
+        len_s, prec_s = inp
+        ids, st = roc_decode_batch(st, len_s, prec_s, pool, n_max, n_slices)
+        return st, ids
+
+    states, ids = jax.lax.scan(step, states, (lengths.T, precision.T))
+    return jnp.swapaxes(ids, 0, 1), states
+
+
+# ---------------------------------------------------------------------------
 # host <-> device state conversion (for serialization & oracle cross-checks)
 # ---------------------------------------------------------------------------
 

@@ -365,9 +365,13 @@ class ShardedIVF:
             check_vma=False,  # replicated outputs are identical by
             #                   construction (post-all_gather compute)
         )
-        jitted = jax.jit(lambda xq: fn(xq, self._cents, self._vecs,
-                                       self._lengths, *trans_args))
-        return jitted
+        # the tables ride as ARGUMENTS, not closure constants: closed-over
+        # arrays are baked into the program (huge compile payloads — the
+        # axon tunnel rejects them at 1M scale with HTTP 413, and every
+        # compile re-ships the index)
+        jitted = jax.jit(fn)
+        args = (self._cents, self._vecs, self._lengths, *trans_args)
+        return lambda xq: jitted(xq, *args)
 
 
 def _ef_in_list_order(c: EliasFanoInvertedLists, nlist_pad: int, mesh: Mesh):

@@ -102,6 +102,26 @@ def roc_provider(g):
     return tree, fetch, K
 
 
+def roc_block_provider(g):
+    """RocBlockGraph: chained ANS decode of each visited node's whole block,
+    then select the node's slot. block x the decode work of roc_provider in
+    exchange for the amortized head (the container's rate/access trade)."""
+    tree = (g._states, g._prec, g._degs, jnp.asarray(g.degrees),
+            rd.default_pool(g.block * g.K))
+    K, Bn, n_slices = g.K, g.block, g._n_slices
+
+    def fetch(tree, nodes):
+        states, prec, degs, deg_flat, pool = tree
+        blk = nodes // Bn
+        sub = jax.tree_util.tree_map(lambda a: a[blk], states)
+        ids, _ = rd.roc_decode_chained(sub, degs[blk], prec[blk], pool, K,
+                                       n_slices)
+        rows = ids[jnp.arange(nodes.shape[0]), nodes % Bn]
+        return rows.astype(jnp.int32), deg_flat[nodes]
+
+    return tree, fetch, K
+
+
 def provider_for(graph):
     """Pick (and memoize on the instance — the fetch closure is a static jit
     argument, so a fresh one per call would force a retrace) the provider
@@ -109,7 +129,8 @@ def provider_for(graph):
     cached = graph.__dict__.get("_device_provider")
     if cached is not None:
         return cached
-    from ..store.graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
+    from ..store.graph import (CompactBitGraph, EliasFanoGraph, Graph,
+                               RocBlockGraph, RocGraph)
 
     if isinstance(graph, Graph):
         p = graph_provider(graph)
@@ -119,6 +140,8 @@ def provider_for(graph):
         p = ef_provider(graph)
     elif isinstance(graph, RocGraph):
         p = roc_provider(graph)
+    elif isinstance(graph, RocBlockGraph):
+        p = roc_block_provider(graph)
     else:
         raise TypeError(type(graph))
     graph.__dict__["_device_provider"] = p

@@ -198,3 +198,78 @@ class RocGraph(CompressedGraph):
         counts = self.degrees[np.asarray(nodes)]
         mask = np.arange(self.K)[None, :] < counts[:, None]
         return np.where(mask, vals, -1).astype(np.int32), counts
+
+
+class RocBlockGraph(CompressedGraph):
+    """Framework extension beyond C16: ONE ANS state per *block* of
+    ``block`` consecutive nodes, chained through the state (slot ``block-1``
+    pushed first so decode emits slot 0 first).
+
+    The reference's per-node ROC (altid_impl.cpp:103-165) pays an 8-byte ANS
+    head plus u32 stack rounding per node; at NSG degrees (~13-32 edges) that
+    head alone costs 2-5 bits/edge and makes ROC the *largest* method in the
+    dynamic graph bench. Chaining amortizes both across the block:
+    head overhead drops to 64/(block*degree) bits/edge, and the multiset
+    payload is unchanged (per-node precisions are preserved — the chain pops
+    each slot with its own width). The trade is random access: fetching one
+    node decodes its whole block (the decode is still one lanes-in-lockstep
+    device program; ``search.graph_device`` runs it inside the traversal
+    loop). ``block=1`` reproduces the per-node stream bit-for-bit.
+    """
+
+    def __init__(self, graph: Graph, block: int = 16):
+        super().__init__(graph)
+        if block < 1:
+            raise ValueError(f"block must be >= 1, got {block}")
+        self.block = int(block)
+        L = -(-self.N // self.block)
+        self._n_blocks = L
+        sorted_nb = np.zeros((L, self.block, self.K), dtype=np.uint64)
+        degs = np.zeros((L, self.block), dtype=np.int32)
+        prec = np.ones((L, self.block), dtype=np.int32)
+        self.num_outgoing_edges = self.degrees
+        for i in range(self.N):
+            nb = graph.get_neighbors(i)
+            b, s = divmod(i, self.block)
+            degs[b, s] = len(nb)
+            if len(nb) == 0:
+                continue
+            srt = np.sort(nb.astype(np.uint64))
+            if len(srt) > 1 and (srt[1:] == srt[:-1]).any():
+                raise ValueError(
+                    f"duplicate neighbor ids in adjacency row {i}; "
+                    "deduplicate the graph before ROC compression")
+            sorted_nb[b, s, : len(srt)] = srt
+            prec[b, s] = precision_for_max_id_safe(int(nb.max()))
+        maxp = int(prec.max())
+        self._n_slices = rd.n_slices_for(maxp)
+        cap = rd.stack_capacity(self.block * self.K, maxp)
+        pool = rd.default_pool(self.block * self.K)
+        states = rd.roc_encode_chained(
+            jnp.asarray(sorted_nb), jnp.asarray(degs), jnp.asarray(prec),
+            pool, rd.fresh_states(L, cap), self._n_slices)
+        if bool(np.asarray(states.err).any()):
+            raise RuntimeError("stack overflow / pool exhaustion in chained "
+                               "ROC graph encode")
+        self._states = states
+        self._degs = jnp.asarray(degs)
+        self._prec = jnp.asarray(prec)
+        sizes = np.asarray(states.size_bytes)
+        self.compressed_ids_size_in_bytes = int(sizes.sum())
+        logn = math.ceil(math.log2(self.N)) if self.N > 1 else 0
+        self.overhead_in_bytes = int(self.N * logn / 8)  # degrees
+
+    def get_neighbors_batch(self, nodes):
+        nodes = np.asarray(nodes)
+        blk = nodes // self.block
+        uniq, inv = np.unique(blk, return_inverse=True)
+        sub = jax.tree_util.tree_map(
+            lambda a: a[jnp.asarray(uniq)], self._states)
+        pool = rd.default_pool(self.block * self.K)
+        ids, _ = rd.roc_decode_chained(
+            sub, self._degs[jnp.asarray(uniq)], self._prec[jnp.asarray(uniq)],
+            pool, self.K, self._n_slices)
+        vals = np.asarray(ids)[inv, nodes % self.block].astype(np.int64)
+        counts = self.degrees[nodes]
+        mask = np.arange(self.K)[None, :] < counts[:, None]
+        return np.where(mask, vals, -1).astype(np.int32), counts

@@ -468,12 +468,21 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
         # dominates on dispatch-latency-bound rigs
         fn = self.__dict__.get("_select_jit")
         if fn is None:
+            # tree arrays ride as ARGUMENTS (closure constants are baked
+            # into the program: huge compile payloads at scale); the static
+            # (n, levels) fields stay in the closure
+            wt = self.wt
+            n, levels = wt.n, wt.levels
+            arrs = tuple(wt)[:-2]
             if self.wt_type == 0:
-                fn = jax.jit(lambda sy, of: wt_select(self.wt, sy, of))
+                core = jax.jit(lambda a, sy, of: wt_select(
+                    type(wt)(*a, n, levels), sy, of))
             else:
                 from ..codecs.wavelet_tree import wt_select_rrr
 
-                fn = jax.jit(lambda sy, of: wt_select_rrr(self.wt, sy, of))
+                core = jax.jit(lambda a, sy, of: wt_select_rrr(
+                    type(wt)(*a, n, levels), sy, of))
+            fn = lambda sy, of: core(arrs, sy, of)
             self.__dict__["_select_jit"] = fn
         return fn(sym, offs)
 

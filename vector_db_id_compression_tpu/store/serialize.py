@@ -27,7 +27,8 @@ from ..codecs.elias_fano import EliasFanoBatch
 from ..codecs.packed_bits import PackedBitsBatch
 from ..codecs.wavelet_tree import WaveletTree
 from ..core.bits import build_bitvector_batch
-from .graph import CompactBitGraph, EliasFanoGraph, Graph, RocGraph
+from .graph import (CompactBitGraph, EliasFanoGraph, Graph, RocBlockGraph,
+                    RocGraph)
 from .invlists import (
     CompressedInvertedLists,
     EliasFanoInvertedLists,
@@ -250,6 +251,7 @@ _GRAPH_KIND = {
     CompactBitGraph: "compact",
     EliasFanoGraph: "elias_fano",
     RocGraph: "roc",
+    RocBlockGraph: "roc_block",
 }
 _GRAPH_BY_KIND = {v: k for k, v in _GRAPH_KIND.items()}
 
@@ -286,6 +288,15 @@ def save_graph(path: Union[str, Path], g) -> None:
         arrs["mt_ctr"] = np.asarray(st.mt_ctr)
         arrs["prec"] = np.asarray(g._prec_dev)
         arrs["id_symbol_precision"] = np.asarray(g.id_symbol_precision)
+    elif kind == "roc_block":
+        st = g._states
+        arrs["head"] = np.asarray(st.head)
+        arrs["stack"] = np.asarray(st.stack)
+        arrs["stack_len"] = np.asarray(st.stack_len)
+        arrs["mt_ctr"] = np.asarray(st.mt_ctr)
+        arrs["prec"] = np.asarray(g._prec)
+        arrs["degs"] = np.asarray(g._degs)
+        arrs["block"] = np.array([g.block], dtype=np.int64)
     np.savez(path, **arrs, **{f"meta_{k}": np.array(str(v)) for k, v in meta.items()})
 
 
@@ -325,6 +336,20 @@ def load_graph(path: Union[str, Path]):
         )
         g._prec_dev = jnp.asarray(z["prec"])
         g.id_symbol_precision = z["id_symbol_precision"]
+        g.num_outgoing_edges = g.degrees
+        g._n_slices = rd.n_slices_for(int(z["prec"].max(initial=1)))
+    elif kind == "roc_block":
+        g.block = int(z["block"][0])
+        g._n_blocks = -(-g.N // g.block)
+        g._states = rd.RocStates(
+            head=jnp.asarray(z["head"]),
+            stack=jnp.asarray(z["stack"]),
+            stack_len=jnp.asarray(z["stack_len"]),
+            mt_ctr=jnp.asarray(z["mt_ctr"]),
+            err=jnp.zeros(g._n_blocks, dtype=bool),
+        )
+        g._prec = jnp.asarray(z["prec"])
+        g._degs = jnp.asarray(z["degs"])
         g.num_outgoing_edges = g.degrees
         g._n_slices = rd.n_slices_for(int(z["prec"].max(initial=1)))
     return g
