@@ -52,8 +52,14 @@ _VMEM_BUDGET = 14 * 2 ** 20
 
 
 def _dec_lane_bytes(n_max: int, capp: int) -> int:
-    """Per-lane scoped-VMEM bytes of one decode grid step."""
-    return (2 * capp + 2 * n_max + 32) * 4
+    """Per-lane scoped-VMEM bytes of one decode grid step.
+
+    Measured (1M-scale fused-search OOM, n_max_pad=3568, capp=1120,
+    lane_block=256): scoped allocation 16.23 MiB = 63.4 KiB/lane — in/out
+    double-buffered PLUS the scratch copies, i.e. ~(3·capp + 3·n_max)
+    words, not the (2·capp + 2·n_max) the old model assumed. Budget with
+    a margin above the observed coefficient."""
+    return (4 * capp + 3 * n_max + 64) * 4
 POOL_ROWS = 32  # decode rarely draws initial bits; err flag + fallback if exceeded
 
 _I32_MIN = -2147483648  # python int: weak-typed, avoids device-const capture

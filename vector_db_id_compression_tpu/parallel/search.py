@@ -127,6 +127,7 @@ class ShardedIVF:
                 st, spec)
             self._prec = jax.device_put(jnp.asarray(prec), shard_l)
             self._n_slices = rd.n_slices_for(int(prec.max(initial=1)))
+            self._pallas = self._try_pallas_translate(st, lengths, prec)
         elif isinstance(container, PackedBitsInvertedLists):
             self._mode = "packed"
             self._pb_width = container.bits
@@ -166,6 +167,46 @@ class ShardedIVF:
             self._ids = jax.device_put(
                 jnp.asarray(ids), NamedSharding(mesh, P("lists", None)))
         self._compiled = {}
+
+    # -------------------------------------------------- Pallas translation
+
+    def _try_pallas_translate(self, st, lengths, prec):
+        """Prepare the single-kernel Pallas decoder for the fused translate
+        stage: decode ALL local lanes in one ``fori_loop`` kernel (~ms at 1M
+        ids) instead of the XLA scan chain (~25us/element step). Returns the
+        mesh-sharded kernel inputs, or None when out of envelope (non-TPU
+        mesh, lane count not LANE_BLOCK-divisible, precision > 32, VMEM).
+
+        The ok-flag is validated HERE with one full decode: per-lane decode
+        is deterministic and the fused program always decodes every local
+        lane, so a clean ctor-time decode guarantees the in-program err flag
+        stays false — no dynamic fallback needed inside the jitted program.
+        """
+        from ..ops import roc_pallas as rp
+
+        devs = np.asarray(self.mesh.devices).reshape(-1)
+        maxp = int(np.asarray(prec).max(initial=0))
+        # b_loc % 256: the decoder pads lanes to a 256 multiple globally AND
+        # each shard's local lane count must hit a kernel lane block
+        if (devs[0].platform != "tpu"
+                or self.b_loc % 256 != 0
+                or not rp.RocPallasDecoder.supports(maxp, self.n_pad)):
+            return None
+        try:
+            dec = rp.RocPallasDecoder(
+                jax.tree_util.tree_map(jnp.asarray, st), lengths, prec,
+                rd.default_pool(self.n_pad), self.n_pad)
+        except ValueError:  # VMEM envelope
+            return None
+        _, ok = dec.decode()
+        if not ok:
+            return None
+        col = NamedSharding(self.mesh, P(None, "lists"))
+        arrs = tuple(
+            jax.device_put(a, col)
+            for a in (dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens,
+                      dec._prec_row))
+        return arrs, (dec._n_max_pad, dec._capp)
 
     # ------------------------------------------------------------------ API
 
@@ -207,6 +248,10 @@ class ShardedIVF:
     def _build(self, nq: int, k: int, nprobe: int):
         B_loc, n_pad, d = self.b_loc, self.n_pad, self.d
         nlist, mode = self.nlist, self._mode
+        pl_nmax = pl_capp = 0
+        if mode == "roc" and getattr(self, "_pallas", None) is not None:
+            mode = "roc_pl"
+            pl_nmax, pl_capp = self._pallas[1]
         T_cap = max(1, min(B_loc, nq * nprobe))
         np_loc = min(nprobe, B_loc)
         n_slices = self._n_slices if mode == "roc" else 0
@@ -276,7 +321,19 @@ class ShardedIVF:
             lloc = lns - base
             mine = (L >= 0) & (lloc >= 0) & (lloc < B_loc)
             lane = jnp.where(mine, lloc, 0).astype(jnp.int32)
-            if mode in ("roc", "raw"):
+            if mode == "roc_pl":
+                # single-kernel Pallas decode of EVERY local lane (cheaper
+                # at scale than any touched-lane bookkeeping: ~ms for 1M
+                # ids); ok-flag pre-validated at ctor, so err is discarded
+                from ..ops.roc_pallas import _run_decode
+
+                buf_l, hi_l, lo_l, ptr_l, lens_l, prec_l = trans
+                ids_all, _ = _run_decode(buf_l, hi_l, lo_l, ptr_l, lens_l,
+                                         prec_l, pl_nmax, pl_capp, False,
+                                         jnp.asarray(True))
+                vals = ids_all[lane, jnp.minimum(offs, pl_nmax - 1)]
+                found = mine
+            elif mode in ("roc", "raw"):
                 # grouped: gather the touched lanes into a static T_cap
                 # buffer, full-list decode (ROC) or table lookup (raw)
                 touched = jnp.zeros(B_loc, bool).at[
@@ -342,7 +399,10 @@ class ShardedIVF:
             D = jnp.where(L >= 0, D + x2, jnp.inf)
             return D, I
 
-        if mode == "roc":
+        if mode == "roc_pl":
+            trans_specs = (P(None, "lists"),) * 6
+            trans_args = self._pallas[0]
+        elif mode == "roc":
             trans_specs = (rd.RocStates(*(P("lists"),) * 5), P("lists"))
             trans_args = (self._states, self._prec)
         elif mode == "packed":
