@@ -102,3 +102,53 @@ def test_size_accounting():
     for b, v in enumerate(ids):
         host_state, _ = roc_encode(v, int(prec[b]))
         assert sizes[b] == host_state.size_bytes
+
+
+def test_chained_round_trip():
+    """S multisets per lane through ONE threaded ANS state
+    (roc_encode_chained / roc_decode_chained): per-slot multiset equality,
+    slot 0 decoded first, zero-length slots pass the state through, and the
+    chained size is strictly below S independent streams (one head +
+    word-rounding per lane instead of per slot)."""
+    rng = np.random.default_rng(3)
+    B, S, K = 5, 4, 24
+    sorted_ids = np.zeros((B, S, K), dtype=np.uint64)
+    lengths = np.zeros((B, S), dtype=np.int32)
+    prec = np.ones((B, S), dtype=np.int32)
+    orig = {}
+    for b in range(B):
+        for s in range(S):
+            n = int(rng.integers(0, K + 1))
+            if (b, s) == (2, 1):
+                n = 0  # explicit empty slot mid-chain
+            v = np.sort(rng.choice(1 << 14, size=n, replace=False)
+                        ).astype(np.uint64)
+            sorted_ids[b, s, :n] = v
+            lengths[b, s] = n
+            prec[b, s] = max(int(v.max()).bit_length(), 1) if n else 1
+            orig[(b, s)] = v
+    maxp = int(prec.max())
+    n_slices = rd.n_slices_for(maxp)
+    cap = rd.stack_capacity(S * K, maxp)
+    pool = rd.default_pool(S * K)
+    states = rd.roc_encode_chained(
+        jnp.asarray(sorted_ids), jnp.asarray(lengths), jnp.asarray(prec),
+        pool, rd.fresh_states(B, cap), n_slices)
+    assert not bool(np.asarray(states.err).any())
+    ids, final = rd.roc_decode_chained(
+        states, jnp.asarray(lengths), jnp.asarray(prec), pool, K, n_slices)
+    assert not bool(np.asarray(final.err).any())
+    ids = np.asarray(ids)
+    for b in range(B):
+        for s in range(S):
+            n = lengths[b, s]
+            np.testing.assert_array_equal(np.sort(ids[b, s, :n]), orig[(b, s)])
+    # head+rounding amortization vs S independent per-slot streams
+    chained = int(np.asarray(states.size_bytes).sum())
+    sep = 0
+    for s in range(S):
+        st_s, _ = rd.roc_encode_batch(
+            jnp.asarray(sorted_ids[:, s]), jnp.asarray(lengths[:, s]),
+            jnp.asarray(prec[:, s]), pool, rd.fresh_states(B, cap), n_slices)
+        sep += int(np.asarray(st_s.size_bytes).sum())
+    assert chained < sep
