@@ -303,7 +303,24 @@ class IndexIVF:
             if hasattr(container, "get_codes")
             else (lambda ln: container.codes[ln])
         )
-        for si, bucket in enumerate(bucketize(lengths)):
+        buckets = list(bucketize(lengths))
+        # PQ: decode codes to f32 reconstructions at build when they fit
+        # the memory budget — the ADC distance IS the exact L2 to the
+        # reconstruction (sum_m ||x_m - c_m||^2 = ||x - x_hat||^2), so the
+        # scan rides the dense MXU path instead of per-pair LUT gathers
+        # (take_along_axis over big tables is the TPU trap — NOTES.md).
+        # Opt out with VDBIDC_PQ_DECODE_SCAN=0 (e.g. memory-bound 1B-scale).
+        self._scan_is_float = self.storage in ("flat", "qinco")
+        if self.storage == "pq":
+            import os as _os
+
+            pad_rows = sum(len(b.list_ids) * b.n_pad for b in buckets)
+            budget_el = int(_os.environ.get("VDBIDC_PQ_DECODE_BUDGET",
+                                            str(2 ** 30)))
+            self._scan_is_float = (
+                _os.environ.get("VDBIDC_PQ_DECODE_SCAN", "1") != "0"
+                and pad_rows * self.d <= budget_el)
+        for si, bucket in enumerate(buckets):
             B, n_pad = len(bucket.list_ids), bucket.n_pad
             if self.storage == "flat":
                 payload = np.zeros((B, n_pad, self.d), dtype=np.float32)
@@ -324,6 +341,12 @@ class IndexIVF:
                             self.qinco.lin_decode(rows[:, :M])
                             + self.centroids[int(ln)]
                         )
+            elif self._scan_is_float:  # pq decoded to f32 reconstructions
+                payload = np.zeros((B, n_pad, self.d), dtype=np.float32)
+                for lane, ln in enumerate(bucket.list_ids):
+                    c = get_codes(int(ln)).reshape(-1, self.code_size)
+                    if len(c):
+                        payload[lane, : len(c)] = self.pq.decode(c)
             else:
                 payload = np.zeros((B, n_pad, self.pq.M), dtype=np.uint8)
                 for lane, ln in enumerate(bucket.list_ids):
@@ -372,7 +395,8 @@ class IndexIVF:
         _, probes = _coarse_topk(xq_dev, jnp.asarray(self.centroids), nprobe)
         probes = np.asarray(probes)  # [nq, nprobe]
 
-        luts = self.pq.compute_luts(xq_dev) if self.storage == "pq" else None
+        luts = (self.pq.compute_luts(xq_dev)
+                if self.storage == "pq" and not self._scan_is_float else None)
 
         # group (query, probe) pairs by scan bucket — all vectorized.
         # Device memory is bounded by chunking: the dense path materializes
@@ -396,8 +420,7 @@ class IndexIVF:
             # dense wins when most lanes are multiply probed (the pair path
             # re-gathers a list's payload once per probing query, P/B times
             # on average) or when queries outnumber the pair advantage
-            dense = (self.storage in ("flat", "qinco")
-                     and (nq * B <= 8 * P or P > 2 * B))
+            dense = self._scan_is_float and (nq * B <= 8 * P or P > 2 * B)
             if dense:
                 # all lanes x all queries (see _scan_flat_allpairs): the
                 # payload streams through HBM once; lane slabs inside the
@@ -415,7 +438,7 @@ class IndexIVF:
                 _emit_pairs(cand_d, cand_l, q_arr, p_arr, lns, dists, offs)
                 continue
             P_c = _pad_pow2(min(P, max(1, budget // max(
-                sb.n_pad * (self.d if self.storage != "pq" else self.pq.M),
+                sb.n_pad * (self.d if self._scan_is_float else self.pq.M),
                 1))))
             for ps in range(0, P, P_c):
                 pe = min(ps + P_c, P)
@@ -424,7 +447,7 @@ class IndexIVF:
                 q_idx[: pe - ps], lanes[: pe - ps] = (q_arr[ps:pe],
                                                       lanes_np[ps:pe])
                 pairs = (jnp.asarray(q_idx), jnp.asarray(lanes))
-                if self.storage in ("flat", "qinco"):
+                if self._scan_is_float:
                     dists, offs = _scan_flat_bucket(
                         xq_dev, sb.payload, sb.lengths_dev, pairs, k
                     )
@@ -436,7 +459,7 @@ class IndexIVF:
                             lns[ps:pe], np.asarray(dists)[: pe - ps],
                             np.asarray(offs)[: pe - ps])
 
-        if self.storage in ("flat", "qinco"):
+        if self._scan_is_float:
             # add back the per-query ||x||^2 term for true L2 distances
             x2 = (xq * xq).sum(axis=1)[:, None, None]
             cand_d = np.where(np.isfinite(cand_d), cand_d + x2, cand_d)
