@@ -25,16 +25,18 @@ from typing import List
 import numpy as np
 
 from ..search.hnsw import HNSW
-from ..store.graph import CompactBitGraph, EliasFanoGraph, RocGraph
+from ..store.graph import (CompactBitGraph, EliasFanoGraph, RocBlockGraph,
+                           RocGraph)
 
 METHOD_MAP = {
     "ref": lambda g: g,
     "compact": CompactBitGraph,
     "elias-fano": EliasFanoGraph,
     "roc": RocGraph,
+    "roc-block": lambda g: RocBlockGraph(g, block=16),
 }
 
-METHODS = ["ref", "compact", "elias-fano", "roc"]
+METHODS = ["ref", "compact", "elias-fano", "roc", "roc-block"]
 
 
 def run_bench(ds, M: int = 16, runs: int = 10, k: int = 10, ef: int = 48,
