@@ -92,7 +92,7 @@ def test_hnsw_bench(tiny, tmp_path):
     out = tmp_path / "hnsw.csv"
     rows = hnsw_bench(tiny, M=8, runs=1, k=5, ef=24, out_csv=str(out))
     assert {r["method"] for r in rows} == {"ref", "compact", "elias-fano",
-                                           "roc"}
+                                           "roc", "roc-block"}
     # lossless adjacency: identical recall across containers
     recalls = {r["recall_1"] for r in rows}
     assert len(recalls) == 1
