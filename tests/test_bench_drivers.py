@@ -100,4 +100,4 @@ def test_hnsw_bench(tiny, tmp_path):
         if r["method"] != "ref":
             assert r["bits_per_edge"] < 32.0
     with open(out) as f:
-        assert len(list(csv.DictReader(f))) == 4
+        assert len(list(csv.DictReader(f))) == len(rows)
