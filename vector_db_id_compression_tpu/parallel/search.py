@@ -89,18 +89,23 @@ class ShardedIVF:
             container.get_codes if hasattr(container, "get_codes")
             else (lambda ln: container.codes[ln])
         )
-        vecs = np.zeros((self.nlist_pad, self.n_pad, index.d), np.float32)
+        # channel-major [lists, d, n_pad]: the minormost dim must be the long
+        # one — a [.., n_pad, d] layout tile-pads d up to 128 lanes in HBM
+        # (4x at d=32), which OOMs at 10M ids (see search/ivf.py _ScanBucket)
+        vecs = np.zeros((self.nlist_pad, index.d, self.n_pad), np.float32)
         for ln in range(self.nlist):
             c = np.asarray(get_codes(ln), np.uint8)
             n = len(c) // index.code_size
             if n == 0:
                 continue
             if index.storage == "flat":
-                vecs[ln, :n] = c.view(np.float32).reshape(n, -1)
+                vecs[ln, :, :n] = c.view(np.float32).reshape(n, -1).T
             else:  # qinco: linear reconstructions (see search/ivf.py NOTE)
                 rows = c.reshape(n, index.code_size)
-                vecs[ln, :n] = (index.qinco.lin_decode(rows[:, : index.qinco.M])
-                                + index.centroids[ln])
+                vecs[ln, :, :n] = (
+                    index.qinco.lin_decode(rows[:, : index.qinco.M])
+                    + index.centroids[ln]
+                ).T
 
         cents = np.zeros((self.nlist_pad, index.d), np.float32)
         cents[: self.nlist] = index.centroids
@@ -286,10 +291,11 @@ class ShardedIVF:
                 jnp.arange(nq)[:, None],
                 jnp.where(in_range, lp, B_loc).astype(jnp.int32),
             ].set(True, mode="drop")
-            V = vecs_l.reshape(B_loc * n_pad, d)
-            dots2 = jnp.dot(xq, V.T, preferred_element_type=jnp.float32)
-            y2 = jnp.sum(V * V, axis=1)
-            d2 = (y2[None, :] - 2.0 * dots2).reshape(nq, B_loc, n_pad)
+            # vecs_l is channel-major [B_loc, d, n_pad]
+            dots2 = jnp.einsum("qd,bdn->qbn", xq, vecs_l,
+                               preferred_element_type=jnp.float32)
+            y2 = jnp.sum(vecs_l * vecs_l, axis=1)        # [B_loc, n_pad]
+            d2 = y2[None] - 2.0 * dots2                  # [nq, B_loc, n_pad]
             slot_ok = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
                        < lengths_l[:, None])
             d2 = jnp.where(probed[:, :, None] & slot_ok[None], d2, jnp.inf)

@@ -81,13 +81,15 @@ def _masked_topk(d2, valid_len, k: int):
 
 @partial(jax.jit, static_argnums=(4,))
 def _scan_flat_bucket(xq, vecs, lengths, pairs, k):
-    """pairs = (q_idx i32[P], lane i32[P]); vecs f32[B, n_pad, d].
+    """pairs = (q_idx i32[P], lane i32[P]); vecs f32[B, d, n_pad]
+    (channel-major: the minormost dim must be the long one — a [.., n_pad, d]
+    layout with d=32 tile-pads the lane dim 4x in HBM, which OOMs at 10M ids).
     Returns (dists f32[P, k], offsets i32[P, k]) with +inf padding."""
     q_idx, lane = pairs
     X = xq[q_idx]                      # [P, d]
-    Y = vecs[lane]                     # [P, n_pad, d]
-    dots = jnp.einsum("pd,pnd->pn", X, Y, preferred_element_type=jnp.float32)
-    y2 = jnp.sum(Y * Y, axis=2)
+    Y = vecs[lane]                     # [P, d, n_pad]
+    dots = jnp.einsum("pd,pdn->pn", X, Y, preferred_element_type=jnp.float32)
+    y2 = jnp.sum(Y * Y, axis=1)
     d2 = y2 - 2.0 * dots               # + ||x||^2 added by caller at merge
     return _masked_topk(d2, lengths[lane], k)
 
@@ -113,17 +115,16 @@ def _scan_flat_allpairs(xq, vecs, lengths, k, slab=0):
     device program — the payload streams through HBM exactly once and the
     peak distance buffer is [nq, slab, n_pad], so reference-scale buckets
     (10M+ entries) scan in a single dispatch."""
-    B, n_pad, d = vecs.shape
+    B, d, n_pad = vecs.shape
     nq = xq.shape[0]
     kk = min(k, n_pad)
 
     def scan_slab(args):
-        vecs_s, len_s = args                   # [S, n_pad, d], [S]
-        S = vecs_s.shape[0]
-        V = vecs_s.reshape(S * n_pad, d)
-        dots = jnp.dot(xq, V.T, preferred_element_type=jnp.float32)
-        y2 = jnp.sum(V * V, axis=1)
-        d2 = (y2[None, :] - 2.0 * dots).reshape(nq, S, n_pad)
+        vecs_s, len_s = args                   # [S, d, n_pad], [S]
+        dots = jnp.einsum("qd,sdn->qsn", xq, vecs_s,
+                          preferred_element_type=jnp.float32)
+        y2 = jnp.sum(vecs_s * vecs_s, axis=1)  # [S, n_pad]
+        d2 = y2[None] - 2.0 * dots             # [nq, S, n_pad]
         mask = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
                 >= len_s[:, None])[None]
         d2 = jnp.where(mask, jnp.inf, d2)
@@ -135,7 +136,7 @@ def _scan_flat_allpairs(xq, vecs, lengths, k, slab=0):
         len_p = jnp.pad(lengths, (0, Bp - B))
         neg, offs = jax.lax.map(
             scan_slab,
-            (vecs_p.reshape(Bp // slab, slab, n_pad, d),
+            (vecs_p.reshape(Bp // slab, slab, d, n_pad),
              len_p.reshape(Bp // slab, slab)),
         )                                       # [n_slabs, nq, slab, kk]
         neg = jnp.moveaxis(neg, 0, 1).reshape(nq, Bp, kk)[:, :B]
@@ -152,12 +153,12 @@ def _scan_flat_allpairs(xq, vecs, lengths, k, slab=0):
 
 @partial(jax.jit, static_argnums=(4,))
 def _scan_pq_bucket(luts, codes, lengths, pairs, k):
-    """luts f32[nq, M, ksub]; codes u8[B, n_pad, M]."""
+    """luts f32[nq, M, ksub]; codes u8[B, M, n_pad] (channel-major — a
+    [.., n_pad, M] u8 layout tile-pads M up to 128 lanes in HBM)."""
     q_idx, lane = pairs
     lut_p = luts[q_idx]                            # [P, M, ksub]
-    idx = codes[lane].astype(jnp.int32)            # [P, n_pad, M]
-    idx_t = jnp.swapaxes(idx, 1, 2)                # [P, M, n_pad]
-    gathered = jnp.take_along_axis(lut_p, idx_t, axis=2)  # [P, M, n_pad]
+    idx = codes[lane].astype(jnp.int32)            # [P, M, n_pad]
+    gathered = jnp.take_along_axis(lut_p, idx, axis=2)  # [P, M, n_pad]
     d2 = jnp.sum(gathered, axis=1)                 # [P, n_pad]
     return _masked_topk(d2, lengths[lane], k)
 
@@ -192,7 +193,10 @@ def _emit_pairs(cand_d, cand_l, q_arr, p_arr, lns, dists, offs):
 class _ScanBucket:
     list_ids: np.ndarray      # i64[B] list numbers
     lengths_dev: jax.Array    # i32[B]
-    payload: jax.Array        # flat/qinco: f32[B, n_pad, d] | pq: u8[B, n_pad, M]
+    # channel-major so the minormost (lane) dim is n_pad — XLA tiles the two
+    # minor dims to (8, 128)/(32, 128), so a d- or M-minor layout inflates
+    # HBM by 128/d (4x at d=32, 16x for u8 M=8) and OOMs at 10M ids
+    payload: jax.Array        # flat/qinco: f32[B, d, n_pad] | pq: u8[B, M, n_pad]
     n_pad: int
 
 
@@ -322,38 +326,39 @@ class IndexIVF:
                 and pad_rows * self.d <= budget_el)
         for si, bucket in enumerate(buckets):
             B, n_pad = len(bucket.list_ids), bucket.n_pad
+            # channel-major payloads ([B, d|M, n_pad]) — see _ScanBucket
             if self.storage == "flat":
-                payload = np.zeros((B, n_pad, self.d), dtype=np.float32)
+                payload = np.zeros((B, self.d, n_pad), dtype=np.float32)
                 for lane, ln in enumerate(bucket.list_ids):
                     c = get_codes(int(ln))
-                    payload[lane, : len(c) // self.code_size] = (
-                        c.view(np.float32).reshape(-1, self.d)
+                    payload[lane, :, : len(c) // self.code_size] = (
+                        c.view(np.float32).reshape(-1, self.d).T
                     )
             elif self.storage == "qinco":
                 # linear reconstructions c_list + r̂_lin: the scan then runs
                 # on the MXU via the flat kernel (see the module NOTE above)
                 M = self.qinco.M
-                payload = np.zeros((B, n_pad, self.d), dtype=np.float32)
+                payload = np.zeros((B, self.d, n_pad), dtype=np.float32)
                 for lane, ln in enumerate(bucket.list_ids):
                     rows = get_codes(int(ln)).reshape(-1, self.code_size)
                     if len(rows):
-                        payload[lane, : len(rows)] = (
+                        payload[lane, :, : len(rows)] = (
                             self.qinco.lin_decode(rows[:, :M])
                             + self.centroids[int(ln)]
-                        )
+                        ).T
             elif self._scan_is_float:  # pq decoded to f32 reconstructions
-                payload = np.zeros((B, n_pad, self.d), dtype=np.float32)
+                payload = np.zeros((B, self.d, n_pad), dtype=np.float32)
                 for lane, ln in enumerate(bucket.list_ids):
                     c = get_codes(int(ln)).reshape(-1, self.code_size)
                     if len(c):
-                        payload[lane, : len(c)] = self.pq.decode(c)
+                        payload[lane, :, : len(c)] = self.pq.decode(c).T
             else:
-                payload = np.zeros((B, n_pad, self.pq.M), dtype=np.uint8)
+                payload = np.zeros((B, self.pq.M, n_pad), dtype=np.uint8)
                 for lane, ln in enumerate(bucket.list_ids):
                     c = get_codes(int(ln))
-                    payload[lane, : len(c) // self.code_size] = c.reshape(
+                    payload[lane, :, : len(c) // self.code_size] = c.reshape(
                         -1, self.pq.M
-                    )
+                    ).T
             self._scan.append(
                 _ScanBucket(
                     list_ids=bucket.list_ids,
@@ -635,10 +640,14 @@ def load_index(path) -> IndexIVF:
     np.cumsum(lengths, out=offsets[1:])
     cs = meta["code_size"]
     il = InvertedLists(meta["nlist"], cs)
+    # materialize ONCE: indexing the NpzFile re-reads and re-inflates the
+    # whole member per subscript — 2*nlist full decompressions otherwise
+    # (minutes at 10M ids)
+    ids_flat = z["ids_flat"]
+    codes_flat = z["codes_flat"]
     for ln in range(meta["nlist"]):
         b, e = offsets[ln], offsets[ln + 1]
-        il.add_entries(ln, z["ids_flat"][b:e],
-                       z["codes_flat"][b * cs:e * cs])
+        il.add_entries(ln, ids_flat[b:e], codes_flat[b * cs:e * cs])
     index.ntotal = meta["ntotal"]
     if index.ntotal > 0:
         index.invlists = il
