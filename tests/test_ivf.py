@@ -169,3 +169,16 @@ def test_index_save_load(tmp_path):
                 for q in range(len(I2))
             ])
             assert overlap >= 0.8, overlap
+
+
+def test_slabbed_dense_scan_matches_default(data, flat_index, monkeypatch):
+    """A tiny VDBIDC_SCAN_BUDGET forces the dense all-pairs scan through the
+    fori_loop/dynamic_slice slab path (incl. the clamped overlapping tail
+    slab); results must be identical to the unslabbed program."""
+    _, xq = data
+    D1, L1 = flat_index.search_positional(xq, K, nprobe=NLIST)
+    # budget of one lane row => slab=1, n_slabs=B (worst case + tail clamp)
+    monkeypatch.setenv("VDBIDC_SCAN_BUDGET", str(1))
+    D2, L2 = flat_index.search_positional(xq, K, nprobe=NLIST)
+    np.testing.assert_array_equal(L1, L2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)

@@ -54,10 +54,14 @@ POOL_ROWS = 32  # encode draws a handful of initial-bit words per list
 def _lane_bytes(n_max: int, capp: int) -> int:
     """Per-lane scoped-VMEM bytes of one encode grid step: ids_in +
     order_out + 2 scratch (n_max rows each), double-buffered in/out, +
-    buf_out (capp rows). Calibrated against two Mosaic scoped-OOM reports:
+    buf_out (capp rows). Calibrated against Mosaic scoped-OOM reports:
     n=4864/c=3688 -> 139.7 KB/lane at 256 lanes, n=11168/c=9816 ->
-    330.8 KB/lane at 128 lanes — both within 5% of this formula."""
-    return (6 * n_max + 2 * capp + 32) * 4
+    330.8 KB/lane at 128 lanes (within 5%) — but a 10M-scale bucket
+    (16.04M scoped at 256 lanes) still beat the raw formula by ~10%, so
+    budget with a 15% safety factor; an overshoot only shifts a bucket to
+    the (bit-identical) host/XLA encoder, and the build additionally
+    catches Mosaic compile failures and falls back."""
+    return ((6 * n_max + 2 * capp + 32) * 4 * 23) // 20
 _RANS_L_I32 = -2147483648  # 2^31 as an i32 bit pattern
 
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..store.invlists import CompressedInvertedLists, InvertedLists
-from ..store.ragged import bucketize
+from ..store.ragged import Bucket, bucketize
 from .kmeans import train_kmeans
 from .pq import ProductQuantizer
 
@@ -131,16 +131,29 @@ def _scan_flat_allpairs(xq, vecs, lengths, k, slab=0):
         return jax.lax.top_k(-d2, kk)          # [nq, S, kk] x2
 
     if slab and slab < B:
-        Bp = -(-B // slab) * slab
-        vecs_p = jnp.pad(vecs, ((0, Bp - B), (0, 0), (0, 0)))
-        len_p = jnp.pad(lengths, (0, Bp - B))
-        neg, offs = jax.lax.map(
-            scan_slab,
-            (vecs_p.reshape(Bp // slab, slab, d, n_pad),
-             len_p.reshape(Bp // slab, slab)),
-        )                                       # [n_slabs, nq, slab, kk]
-        neg = jnp.moveaxis(neg, 0, 1).reshape(nq, Bp, kk)[:, :B]
-        offs = jnp.moveaxis(offs, 0, 1).reshape(nq, Bp, kk)[:, :B]
+        # slabs via dynamic_slice on the UNPADDED payload: any in-program
+        # pad/reshape of vecs copies the whole multi-GB buffer (twice, with
+        # the pad temp — the 10M OOM). The tail slab starts clamped to
+        # B - slab, recomputing <slab overlapped lanes with identical
+        # results before overwriting them in place.
+        n_slabs = -(-B // slab)
+
+        def body(i, out):
+            start = jnp.minimum(i * slab, B - slab)
+            vecs_s = jax.lax.dynamic_slice(vecs, (start, 0, 0),
+                                           (slab, d, n_pad))
+            len_s = jax.lax.dynamic_slice(lengths, (start,), (slab,))
+            neg_s, off_s = scan_slab((vecs_s, len_s))   # [nq, slab, kk]
+            return (jax.lax.dynamic_update_slice(out[0], neg_s,
+                                                 (0, start, 0)),
+                    jax.lax.dynamic_update_slice(out[1], off_s,
+                                                 (0, start, 0)))
+
+        neg, offs = jax.lax.fori_loop(
+            0, n_slabs, body,
+            (jnp.full((nq, B, kk), -jnp.inf, jnp.float32),
+             jnp.zeros((nq, B, kk), jnp.int32)),
+        )
     else:
         neg, offs = scan_slab((vecs, lengths))
     if kk < k:
@@ -324,12 +337,40 @@ class IndexIVF:
             self._scan_is_float = (
                 _os.environ.get("VDBIDC_PQ_DECODE_SCAN", "1") != "0"
                 and pad_rows * self.d <= budget_el)
+        # cap each scan bucket's payload at ~the scan budget: XLA relayouts /
+        # remats the payload parameter inside the dense-scan program, so a
+        # single multi-GB bucket doubles in HBM and OOMs at 10M ids; chunked
+        # buckets are separate (async, pipelined) dispatches whose copies are
+        # small. Codec-side bucketing (store/) is unaffected.
+        import os as _os
+
+        budget_el = int(_os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
+        width = self.d if self._scan_is_float else max(self.pq.M, 1)
+        chunked = []
+        for b in buckets:
+            b_cap = max(1, budget_el // max(b.n_pad * width, 1))
+            for lo in range(0, len(b.list_ids), b_cap):
+                sl = slice(lo, lo + b_cap)
+                ids_c, len_c = b.list_ids[sl], b.lengths[sl]
+                if lo and len(ids_c) < b_cap:
+                    # pad the tail chunk to the cap (lane id -1, length 0) so
+                    # every chunk of a bucket shares ONE compiled scan shape
+                    pad = b_cap - len(ids_c)
+                    ids_c = np.concatenate(
+                        [ids_c, np.full(pad, -1, ids_c.dtype)])
+                    len_c = np.concatenate(
+                        [len_c, np.zeros(pad, len_c.dtype)])
+                chunked.append(Bucket(list_ids=ids_c, lengths=len_c,
+                                      n_pad=b.n_pad))
+        buckets = chunked
         for si, bucket in enumerate(buckets):
             B, n_pad = len(bucket.list_ids), bucket.n_pad
             # channel-major payloads ([B, d|M, n_pad]) — see _ScanBucket
             if self.storage == "flat":
                 payload = np.zeros((B, self.d, n_pad), dtype=np.float32)
                 for lane, ln in enumerate(bucket.list_ids):
+                    if ln < 0:
+                        continue  # tail-chunk padding lane
                     c = get_codes(int(ln))
                     payload[lane, :, : len(c) // self.code_size] = (
                         c.view(np.float32).reshape(-1, self.d).T
@@ -340,6 +381,8 @@ class IndexIVF:
                 M = self.qinco.M
                 payload = np.zeros((B, self.d, n_pad), dtype=np.float32)
                 for lane, ln in enumerate(bucket.list_ids):
+                    if ln < 0:
+                        continue
                     rows = get_codes(int(ln)).reshape(-1, self.code_size)
                     if len(rows):
                         payload[lane, :, : len(rows)] = (
@@ -349,12 +392,16 @@ class IndexIVF:
             elif self._scan_is_float:  # pq decoded to f32 reconstructions
                 payload = np.zeros((B, self.d, n_pad), dtype=np.float32)
                 for lane, ln in enumerate(bucket.list_ids):
+                    if ln < 0:
+                        continue
                     c = get_codes(int(ln)).reshape(-1, self.code_size)
                     if len(c):
                         payload[lane, :, : len(c)] = self.pq.decode(c).T
             else:
                 payload = np.zeros((B, self.pq.M, n_pad), dtype=np.uint8)
                 for lane, ln in enumerate(bucket.list_ids):
+                    if ln < 0:
+                        continue
                     c = get_codes(int(ln))
                     payload[lane, :, : len(c) // self.code_size] = c.reshape(
                         -1, self.pq.M
@@ -368,7 +415,8 @@ class IndexIVF:
                 )
             )
             for lane, ln in enumerate(bucket.list_ids):
-                self._list_to_scan[int(ln)] = (si, lane)
+                if ln >= 0:
+                    self._list_to_scan[int(ln)] = (si, lane)
         # vectorized list -> (bucket, lane) tables for the grouping step
         self._bucket_of = np.full(self.nlist, -1, dtype=np.int32)
         self._lane_of = np.zeros(self.nlist, dtype=np.int32)
@@ -422,10 +470,14 @@ class IndexIVF:
             lanes_np = self._lane_of[lns]
             P = len(q_arr)
             B = len(sb.list_ids)
-            # dense wins when most lanes are multiply probed (the pair path
-            # re-gathers a list's payload once per probing query, P/B times
-            # on average) or when queries outnumber the pair advantage
-            dense = self._scan_is_float and (nq * B <= 8 * P or P > 2 * B)
+            # cost model: the pair path pays payload traffic P*n_pad*d and
+            # top-k over P*n_pad keys; dense pays B*n_pad*d traffic but
+            # top-k over nq*B*n_pad keys. Sorting a key costs ~100x more
+            # than streaming a byte, so dense only wins in the near-full-
+            # probe regime (P approaching nq*B, e.g. nprobe ~ nlist) — at
+            # 10M ids/nprobe=64 the old "P > 2B" rule picked dense and
+            # spent 64x the needed top-k work
+            dense = self._scan_is_float and 4 * P >= nq * B
             if dense:
                 # all lanes x all queries (see _scan_flat_allpairs): the
                 # payload streams through HBM once; lane slabs inside the

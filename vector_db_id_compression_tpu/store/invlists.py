@@ -266,16 +266,23 @@ class RocInvertedLists(CompressedInvertedLists):
             if use_pallas_enc:
                 from ..ops.roc_encode_pallas import roc_encode_pallas
 
-                states, order, ok = roc_encode_pallas(
-                    sorted_ids, bucket.lengths, prec)
-                if not ok:
-                    raise RuntimeError("pallas ROC encode overflow")
-                order_np = np.asarray(order)
-                orig_orders = [
-                    perms[lane][order_np[lane, : int(bucket.lengths[lane])]]
-                    for lane in range(B)
-                ]
-            else:
+                try:
+                    states, order, ok = roc_encode_pallas(
+                        sorted_ids, bucket.lengths, prec)
+                    if not ok:
+                        raise RuntimeError("pallas ROC encode overflow")
+                    order_np = np.asarray(order)
+                except Exception:
+                    # Mosaic compile failure outside the (approximate) VMEM
+                    # cost model, or an overflow flag: this bucket takes the
+                    # host/XLA path (streams are bit-identical either way)
+                    use_pallas_enc = False
+                else:
+                    orig_orders = [
+                        perms[lane][order_np[lane, : int(bucket.lengths[lane])]]
+                        for lane in range(B)
+                    ]
+            if not use_pallas_enc:
                 # shared ragged front door: native C++ when available, else
                 # the XLA scan encoder (codecs/roc_device.py encode_ragged)
                 states, orig_orders = rd.encode_ragged(

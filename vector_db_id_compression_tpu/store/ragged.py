@@ -27,8 +27,18 @@ class Bucket:
     n_pad: int
 
 
-def bucketize(lengths: Sequence[int], growth: float = 2.0, min_pad: int = 8) -> List[Bucket]:
-    """Group list indices into geometric size buckets (empty lists dropped)."""
+def bucketize(lengths: Sequence[int], growth: float = 2.0, min_pad: int = 8,
+              max_waste: float = 1.35) -> List[Bucket]:
+    """Group list indices into size buckets (empty lists dropped).
+
+    The ceiling grows geometrically while the bucket's padded-slot waste
+    stays under ``max_waste`` (padded slots / true slots). A pure
+    occupancy-growth rule collapses any continuous length distribution into
+    ONE bucket padded to the global max — at 10M ids that meant 4087 lists
+    padded to n_pad=11168 against a mean length of 2441 (4.6x slot waste in
+    every scan/decode pass, and a bucket far outside the Pallas decode VMEM
+    envelope). The waste bound keeps n_pad near each bucket's own lengths;
+    the number of buckets stays O(log(max_len)/log(growth))."""
     lengths = np.asarray(lengths, dtype=np.int64)
     nonempty = np.flatnonzero(lengths > 0)
     if len(nonempty) == 0:
@@ -36,18 +46,22 @@ def bucketize(lengths: Sequence[int], growth: float = 2.0, min_pad: int = 8) -> 
     buckets: List[Bucket] = []
     order = nonempty[np.argsort(lengths[nonempty], kind="stable")]
     sorted_lens = lengths[order]
+    csum = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(sorted_lens, out=csum[1:])
     lo = 0
     while lo < len(order):
         cap = max(int(sorted_lens[lo]), min_pad)
-        # grow cap geometrically; everything <= cap goes in this bucket
+        # grow cap geometrically while everything <= cap keeps waste bounded
         while True:
             hi = int(np.searchsorted(sorted_lens, cap, side="right"))
             nxt = int(cap * growth)
             if hi >= len(order) or nxt == cap:
                 break
-            # stop growing when the next ceiling would overshoot occupancy
             hi_next = int(np.searchsorted(sorted_lens, nxt, side="right"))
-            if hi_next == hi:
+            if hi_next == hi:  # next ceiling adds no lists
+                break
+            true_slots = int(csum[hi_next] - csum[lo])
+            if (hi_next - lo) * nxt > max_waste * true_slots:
                 break
             cap = nxt
         hi = max(hi, lo + 1)
