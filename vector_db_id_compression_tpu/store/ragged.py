@@ -48,23 +48,24 @@ def bucketize(lengths: Sequence[int], growth: float = 2.0, min_pad: int = 8,
     sorted_lens = lengths[order]
     csum = np.zeros(len(order) + 1, dtype=np.int64)
     np.cumsum(sorted_lens, out=csum[1:])
+    # two-pointer greedy: extend the bucket one member at a time (cap = the
+    # new member's length) while waste stays bounded. Growing the CAP
+    # multiplicatively instead degenerates: from a length near the
+    # distribution mode, one doubling overshoots the waste bound
+    # immediately, producing one bucket per distinct length (~750 buckets =
+    # ~750 decode dispatches at 10M ids); member-at-a-time growth yields a
+    # handful of buckets with the same bound.
     lo = 0
-    while lo < len(order):
+    n = len(order)
+    while lo < n:
+        hi = lo + 1
         cap = max(int(sorted_lens[lo]), min_pad)
-        # grow cap geometrically while everything <= cap keeps waste bounded
-        while True:
-            hi = int(np.searchsorted(sorted_lens, cap, side="right"))
-            nxt = int(cap * growth)
-            if hi >= len(order) or nxt == cap:
+        while hi < n:
+            cand = max(int(sorted_lens[hi]), min_pad)
+            if (hi + 1 - lo) * cand > max_waste * int(csum[hi + 1] - csum[lo]):
                 break
-            hi_next = int(np.searchsorted(sorted_lens, nxt, side="right"))
-            if hi_next == hi:  # next ceiling adds no lists
-                break
-            true_slots = int(csum[hi_next] - csum[lo])
-            if (hi_next - lo) * nxt > max_waste * true_slots:
-                break
-            cap = nxt
-        hi = max(hi, lo + 1)
+            cap = cand
+            hi += 1
         ids = order[lo:hi]
         buckets.append(
             Bucket(
