@@ -463,6 +463,9 @@ class IndexIVF:
         cand_d = np.full((nq, nprobe, k), np.inf, dtype=np.float32)
         cand_l = np.full((nq, nprobe, k), -1, dtype=np.int64)
         b_of = self._bucket_of[probes]                 # i32[nq, nprobe]
+        # dispatch every bucket/chunk async, sync once at the end: a per-
+        # chunk np.asarray would serialize dispatch -> compute -> transfer
+        pending = []  # (q_arr, p_arr, lns, dists_dev, offs_dev, rows)
         for si in np.unique(b_of[b_of >= 0]):
             sb = self._scan[si]
             q_arr, p_arr = np.nonzero(b_of == si)
@@ -490,9 +493,8 @@ class IndexIVF:
                 # [nq, B, k] tensors to host costs far more than the scan
                 qa = jnp.asarray(q_arr)
                 la = jnp.asarray(lanes_np)
-                dists = np.asarray(d_all[qa, la])
-                offs = np.asarray(o_all[qa, la])
-                _emit_pairs(cand_d, cand_l, q_arr, p_arr, lns, dists, offs)
+                pending.append((q_arr, p_arr, lns, d_all[qa, la],
+                                o_all[qa, la], len(q_arr)))
                 continue
             P_c = _pad_pow2(min(P, max(1, budget // max(
                 sb.n_pad * (self.d if self._scan_is_float else self.pq.M),
@@ -512,9 +514,11 @@ class IndexIVF:
                     dists, offs = _scan_pq_bucket(
                         luts, sb.payload, sb.lengths_dev, pairs, k
                     )
-                _emit_pairs(cand_d, cand_l, q_arr[ps:pe], p_arr[ps:pe],
-                            lns[ps:pe], np.asarray(dists)[: pe - ps],
-                            np.asarray(offs)[: pe - ps])
+                pending.append((q_arr[ps:pe], p_arr[ps:pe], lns[ps:pe],
+                                dists, offs, pe - ps))
+        for q_a, p_a, l_a, dists, offs, rows in pending:
+            _emit_pairs(cand_d, cand_l, q_a, p_a, l_a,
+                        np.asarray(dists)[:rows], np.asarray(offs)[:rows])
 
         if self._scan_is_float:
             # add back the per-query ||x||^2 term for true L2 distances
