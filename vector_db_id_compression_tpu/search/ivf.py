@@ -186,20 +186,40 @@ def _merge_topk(cand_d, cand_l):
     )
 
 
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _emit_merge_device(q_idx, p_idx, lns, dists, offs, x2, nq, nprobe, k):
+    """Scatter every scanned (query, probe) slab into the [nq, nprobe, k]
+    candidate tensors ON DEVICE and merge to the final sorted top-k.
+
+    Replaces the host emit + re-upload merge: the per-bucket scan outputs
+    never leave the device, so the whole search pays ONE [nq, k] transfer
+    instead of 2 transfers per bucket chunk plus a [nq, nprobe*k] upload
+    (each d2h/h2d costs ~35 ms latency on a tunneled TPU — at nprobe=16/1M
+    ids this was ~1 s of the ~1.5 s search). Padded rows carry q_idx == nq
+    and fall out via scatter mode="drop". x2 is the per-query ||x||^2 term
+    (zeros for LUT distances, which are already complete)."""
+    valid = jnp.isfinite(dists)
+    labels = jnp.where(
+        valid, (lns[:, None] << 32) | offs.astype(jnp.int64), jnp.int64(-1))
+    xq2 = jnp.concatenate([x2, jnp.zeros((1,), jnp.float32)])[
+        jnp.minimum(q_idx, nq)]
+    d = jnp.where(valid, dists + xq2[:, None], jnp.inf)
+    cand_d = jnp.full((nq, nprobe, k), jnp.inf, jnp.float32).at[
+        q_idx, p_idx].set(d, mode="drop")
+    cand_l = jnp.full((nq, nprobe, k), -1, jnp.int64).at[
+        q_idx, p_idx].set(labels, mode="drop")
+    cd = cand_d.reshape(nq, nprobe * k)
+    cl = cand_l.reshape(nq, nprobe * k)
+    order = jnp.argsort(cd, axis=1)[:, :k]
+    return (jnp.take_along_axis(cd, order, axis=1),
+            jnp.take_along_axis(cl, order, axis=1))
+
+
 def _pad_pow2(n: int, lo: int = 8) -> int:
     p = lo
     while p < n:
         p *= 2
     return p
-
-
-def _emit_pairs(cand_d, cand_l, q_arr, p_arr, lns, dists, offs):
-    """Scatter one scanned slab of (query, probe) pairs into the candidate
-    tensors, packing positional labels and masking empty slots."""
-    cand_d[q_arr, p_arr] = dists
-    valid = np.isfinite(dists)
-    labels = lo_build(lns[:, None].astype(np.int64), offs.astype(np.int64))
-    cand_l[q_arr, p_arr] = np.where(valid, labels, -1)
 
 
 @dataclass
@@ -460,12 +480,13 @@ class IndexIVF:
         import os as _os
 
         budget = int(_os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
-        cand_d = np.full((nq, nprobe, k), np.inf, dtype=np.float32)
-        cand_l = np.full((nq, nprobe, k), -1, dtype=np.int64)
         b_of = self._bucket_of[probes]                 # i32[nq, nprobe]
-        # dispatch every bucket/chunk async, sync once at the end: a per-
-        # chunk np.asarray would serialize dispatch -> compute -> transfer
-        pending = []  # (q_arr, p_arr, lns, dists_dev, offs_dev, rows)
+        # dispatch every bucket/chunk async; scan outputs stay ON DEVICE and
+        # feed one scatter+merge program at the end — per-chunk np.asarray
+        # pulls and the host cand_d/cand_l round trip each pay the ~35 ms
+        # tunnel latency, which dominated the warm search at 1M scale
+        pend_idx = []  # (q_emit i32[Pc] pad=nq, p_emit i32[Pc], lns i64[Pc])
+        pend_dev = []  # (dists f32[Pc, k], offs i32[Pc, k]) device arrays
         for si in np.unique(b_of[b_of >= 0]):
             sb = self._scan[si]
             q_arr, p_arr = np.nonzero(b_of == si)
@@ -491,10 +512,12 @@ class IndexIVF:
                     slab if B > slab else 0)
                 # gather the probed pairs ON device — fetching the full
                 # [nq, B, k] tensors to host costs far more than the scan
-                qa = jnp.asarray(q_arr)
+                qa = jnp.asarray(q_arr.astype(np.int32))
                 la = jnp.asarray(lanes_np)
-                pending.append((q_arr, p_arr, lns, d_all[qa, la],
-                                o_all[qa, la], len(q_arr)))
+                pend_idx.append((q_arr.astype(np.int32),
+                                 p_arr.astype(np.int32),
+                                 lns.astype(np.int64)))
+                pend_dev.append((d_all[qa, la], o_all[qa, la]))
                 continue
             P_c = _pad_pow2(min(P, max(1, budget // max(
                 sb.n_pad * (self.d if self._scan_is_float else self.pq.M),
@@ -514,22 +537,51 @@ class IndexIVF:
                     dists, offs = _scan_pq_bucket(
                         luts, sb.payload, sb.lengths_dev, pairs, k
                     )
-                pending.append((q_arr[ps:pe], p_arr[ps:pe], lns[ps:pe],
-                                dists, offs, pe - ps))
-        for q_a, p_a, l_a, dists, offs, rows in pending:
-            _emit_pairs(cand_d, cand_l, q_a, p_a, l_a,
-                        np.asarray(dists)[:rows], np.asarray(offs)[:rows])
+                # pad rows are marked q_emit == nq → dropped by the scatter
+                q_emit = np.full(P_c, nq, dtype=np.int32)
+                p_emit = np.zeros(P_c, dtype=np.int32)
+                l_emit = np.zeros(P_c, dtype=np.int64)
+                q_emit[: pe - ps] = q_arr[ps:pe]
+                p_emit[: pe - ps] = p_arr[ps:pe]
+                l_emit[: pe - ps] = lns[ps:pe]
+                pend_idx.append((q_emit, p_emit, l_emit))
+                pend_dev.append((dists, offs))
 
-        if self._scan_is_float:
-            # add back the per-query ||x||^2 term for true L2 distances
-            x2 = (xq * xq).sum(axis=1)[:, None, None]
-            cand_d = np.where(np.isfinite(cand_d), cand_d + x2, cand_d)
+        if not pend_dev:
+            return (np.full((nq, k), np.inf, np.float32),
+                    np.full((nq, k), -1, np.int64))
 
-        D, L = _merge_topk(
-            jnp.asarray(cand_d.reshape(nq, -1)), jnp.asarray(cand_l.reshape(nq, -1))
-        )
-        D = np.asarray(D)[:, :k]
-        L = np.asarray(L)[:, :k]
+        # one scatter+merge program over all chunks; pad the row count to a
+        # power of two so reruns with slightly different probe histograms
+        # reuse the compiled program
+        Pt = sum(len(q) for q, _, _ in pend_idx)
+        Pt_pad = _pad_pow2(Pt)
+        q_all = np.full(Pt_pad, nq, dtype=np.int32)
+        p_all = np.zeros(Pt_pad, dtype=np.int32)
+        l_all = np.zeros(Pt_pad, dtype=np.int64)
+        pos = 0
+        for q_e, p_e, l_e in pend_idx:
+            q_all[pos: pos + len(q_e)] = q_e
+            p_all[pos: pos + len(q_e)] = p_e
+            l_all[pos: pos + len(q_e)] = l_e
+            pos += len(q_e)
+        d_cat = jnp.concatenate(
+            [d for d, _ in pend_dev]
+            + ([jnp.full((Pt_pad - Pt, k), jnp.inf, jnp.float32)]
+               if Pt_pad > Pt else []))
+        o_cat = jnp.concatenate(
+            [o for _, o in pend_dev]
+            + ([jnp.zeros((Pt_pad - Pt, k), jnp.int32)]
+               if Pt_pad > Pt else []))
+        # per-query ||x||^2 completes the L2 distance for the flat/qinco
+        # scan; LUT (PQ) distances are already complete
+        x2 = ((xq * xq).sum(axis=1) if self._scan_is_float
+              else np.zeros(nq, np.float32))
+        D, L = _emit_merge_device(
+            jnp.asarray(q_all), jnp.asarray(p_all), jnp.asarray(l_all),
+            d_cat, o_cat, jnp.asarray(x2, dtype=jnp.float32), nq, nprobe, k)
+        D = np.asarray(D)
+        L = np.asarray(L)
         D = np.where(L >= 0, D, np.inf)
         return D, L
 
