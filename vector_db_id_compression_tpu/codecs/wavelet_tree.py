@@ -190,11 +190,14 @@ def _wt_select_generic(n: int, L: int, rank1, select0, select1,
     # the node start, its rank0/rank1 there, the branch bit, and child start
     lo = jnp.zeros_like(offset)
     hi = jnp.full_like(offset, n)
+    Q = offset.shape[0]
     per_level = []
     for l in range(L):
         b = (symbol >> (L - 1 - l)) & 1
-        r1_lo = rank1(l, lo)
-        r1_hi = rank1(l, hi)
+        # one batched rank covers both interval ends: the window gathers
+        # dominate the walk, and one 2Q-query gather beats two Q-query ones
+        r1_both = rank1(l, jnp.concatenate([lo, hi]))
+        r1_lo, r1_hi = r1_both[:Q], r1_both[Q:]
         r0_lo = lo - r1_lo
         z = (hi - r1_hi) - r0_lo  # zeros inside [lo, hi)
         child_lo = jnp.where(b == 0, lo, lo + z)

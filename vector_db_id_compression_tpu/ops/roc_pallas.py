@@ -353,8 +353,15 @@ class RocPallasDecoder:
         )
         return ids[: self.B0, : self.n_max], not bool(err)
 
-    def decode_lanes(self, lane_idx: np.ndarray, interpret: bool = False):
-        """Decode a subset of lanes (padded to a LANE_BLOCK multiple)."""
+    def decode_lanes(self, lane_idx: np.ndarray, interpret: bool = False,
+                     check: bool = True):
+        """Decode a subset of lanes (padded to a LANE_BLOCK multiple).
+
+        ``check=False`` skips the err-flag pull: ``bool(err)`` is a host
+        sync that serializes every caller-side bucket chain on the device
+        link. Per-lane decode is deterministic, so a caller that validated
+        one clean full decode() may trust every subset decode and keep the
+        pipeline async (ids are still lazy device values)."""
         q0 = len(lane_idx)
         Q = -(-q0 // LANE_BLOCK) * LANE_BLOCK
         idx = jnp.asarray(
@@ -365,7 +372,7 @@ class RocPallasDecoder:
             self._ptr0[:, idx], self._lens[:, idx], self._prec_row[:, idx],
             self._n_max_pad, self._capp, interpret, self._pool_ok,
         )
-        return ids[:q0, : self.n_max], not bool(err)
+        return ids[:q0, : self.n_max], (not bool(err)) if check else True
 
 
 def roc_decode_pallas(states: rd.RocStates, lengths, precision, pool, n_max: int,

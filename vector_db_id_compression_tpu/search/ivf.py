@@ -638,10 +638,9 @@ class IndexIVF:
         elif decode_1by1 and container.supports_random_access:
             ids = container.get_single_ids_batch(lns, offs).astype(np.int64)
         else:
-            # grouped: decode each touched list once (reference .cpp:477-525)
-            uniq, inv = np.unique(lns, return_inverse=True)
-            decoded, lens = container.decode_lists(uniq)
-            ids = decoded[inv, offs].astype(np.int64)
+            # grouped: decode each touched list once (reference .cpp:477-525),
+            # offsets gathered on device — one [n_labels] pull
+            ids = container.decode_select(lns, offs).astype(np.int64)
         res = flat.copy()
         res[valid] = ids
         return res.reshape(labels.shape)

@@ -121,6 +121,39 @@ class CompressedInvertedLists:
     def get_single_ids_batch(self, list_nos: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def decode_select(self, list_nos: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Grouped deferred translate: decode each TOUCHED list once
+        (reference custom_invlists_impl.cpp:477-525), but gather the label
+        offsets ON DEVICE so only the [n_labels] selected ids transfer —
+        pulling the full decoded rows (e.g. [touched, n_pad] u64 ≈ 29 MB at
+        1M ids) costs more than the decode itself on a tunneled device."""
+        list_nos = np.asarray(list_nos, dtype=np.int64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        decode_fn = getattr(self, "_decode_fn", None)
+        if decode_fn is None:  # containers without a per-bucket decode
+            if self.supports_random_access:
+                return self.get_single_ids_batch(list_nos, offsets)
+            uniq, inv = np.unique(list_nos, return_inverse=True)
+            decoded, _ = self.decode_lists(uniq)
+            return decoded[inv, offsets]
+        b_of, l_of = _bucket_maps(self)
+        b = np.where(self._lengths[list_nos] > 0, b_of[list_nos], -1)
+        out = np.zeros(len(list_nos), dtype=np.uint64)
+        sels, vals = [], []
+        for bi in np.unique(b[b >= 0]):
+            sel = np.nonzero(b == bi)[0]
+            uniq, inv = np.unique(list_nos[sel], return_inverse=True)
+            lanes = l_of[uniq].astype(np.int64)
+            dec = decode_fn(int(bi), lanes, self._buckets[bi].n_pad)
+            vals.append(jnp.asarray(dec)[jnp.asarray(inv),
+                                         jnp.asarray(offsets[sel])])
+            sels.append(sel)
+        if sels:
+            cat = np.asarray(jnp.concatenate(vals)) if len(vals) > 1 else (
+                np.asarray(vals[0]))
+            out[np.concatenate(sels)] = cat
+        return out
+
     # --- host-convenience parity API --------------------------------------
 
     def get_ids(self, list_no: int) -> np.ndarray:
@@ -162,56 +195,104 @@ class PackedBitsInvertedLists(CompressedInvertedLists):
                 pb.size_in_bytes_per_list.sum()
             )
 
-    def decode_lists(self, list_nos):
-        def decode_fn(bi, lanes, n_pad):
-            pb = self._packed[bi]
-            sub = PackedBitsBatch(
-                words=pb.words[jnp.asarray(lanes)],
-                lengths=pb.lengths[jnp.asarray(lanes)],
-                width=pb.width,
-            )
-            return unpack_all(sub, n_pad)
+    def _decode_fn(self, bi, lanes, n_pad):
+        pb = self._packed[bi]
+        sub = PackedBitsBatch(
+            words=pb.words[jnp.asarray(lanes)],
+            lengths=pb.lengths[jnp.asarray(lanes)],
+            width=pb.width,
+        )
+        return unpack_all(sub, n_pad)
 
-        return _decode_by_bucket(self, list_nos, decode_fn)
+    def decode_lists(self, list_nos):
+        return _decode_by_bucket(self, list_nos, self._decode_fn)
 
     def get_single_ids_batch(self, list_nos, offsets):
-        out = np.zeros(len(list_nos), dtype=np.uint64)
-        by_bucket: Dict[int, List[int]] = {}
-        for q, ln in enumerate(list_nos):
-            bi, _ = self._list_to_bucket[int(ln)]
-            by_bucket.setdefault(bi, []).append(q)
-        for bi, qs in by_bucket.items():
-            pb = self._packed[bi]
-            lanes = np.array([self._list_to_bucket[int(list_nos[q])][1] for q in qs])
-            offs = np.array([offsets[q] for q in qs], dtype=np.int32)
-            vals = np.asarray(
-                pb_get_single(pb, jnp.asarray(lanes, jnp.int32), jnp.asarray(offs))
-            )
-            out[np.asarray(qs)] = vals
-        return out
+        return _select_by_bucket(
+            self, list_nos, offsets,
+            lambda bi, lanes, offs: _pb_get_single_jit(self._packed[bi],
+                                                        lanes, offs))
+
+
+# jitted select wrappers: the batch structs are NamedTuple pytrees, so one
+# program covers the whole select — called eagerly, every jnp op inside is
+# its own device dispatch (~20 ops x per-dispatch latency ate ~1 s of the
+# 1M EF translate). PackedBitsBatch.width must stay a static (it selects
+# the field-extraction unroll), so the packed wrapper is cached per width.
+_ef_select_jit = jax.jit(ef_select)
+_PB_SINGLE_JITS: Dict[int, object] = {}
+
+
+def _pb_get_single_jit(pb: PackedBitsBatch, lanes, offs):
+    fn = _PB_SINGLE_JITS.get(pb.width)
+    if fn is None:
+        w = pb.width
+        fn = _PB_SINGLE_JITS[w] = jax.jit(
+            lambda words, lengths, lanes, offs: pb_get_single(
+                PackedBitsBatch(words, lengths, w), lanes, offs))
+    return fn(pb.words, pb.lengths, lanes, offs)
+
+
+def _bucket_maps(container):
+    """Vectorized view of ``_list_to_bucket``: arrays (bucket_of i32[nlist],
+    lane_of i32[nlist]); bucket_of == -1 for lists in no bucket. Cached on
+    the container — the per-label dict lookups in the translate path cost
+    more than the device work at 20k labels."""
+    m = getattr(container, "_bucket_maps_cache", None)
+    if m is None:
+        b = np.full(container.nlist, -1, dtype=np.int32)
+        lane = np.zeros(container.nlist, dtype=np.int32)
+        for ln, (bi, la) in container._list_to_bucket.items():
+            b[ln] = bi
+            lane[ln] = la
+        m = container._bucket_maps_cache = (b, lane)
+    return m
+
+
+def _select_by_bucket(container, list_nos, offsets, select_fn):
+    """Batched O(1) random-access translate: vectorized bucket grouping,
+    async dispatch of one select program per touched bucket, results
+    concatenated ON DEVICE and pulled in a single transfer (per-bucket
+    np.asarray pulls serialize on the device link)."""
+    list_nos = np.asarray(list_nos, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int32)
+    b_of, l_of = _bucket_maps(container)
+    b = b_of[list_nos]
+    sels, vals = [], []
+    for bi in np.unique(b[b >= 0]):
+        sel = np.nonzero(b == bi)[0]
+        lanes = l_of[list_nos[sel]]
+        vals.append(select_fn(int(bi), jnp.asarray(lanes, jnp.int32),
+                              jnp.asarray(offsets[sel])))
+        sels.append(sel)
+    out = np.zeros(len(list_nos), dtype=np.uint64)
+    if sels:
+        cat = np.asarray(jnp.concatenate(vals)) if len(vals) > 1 else (
+            np.asarray(vals[0]))
+        out[np.concatenate(sels)] = cat
+    return out
 
 
 def _decode_by_bucket(container, list_nos, decode_fn):
     """Shared grouped decode: gather requested lanes per bucket, run the
-    batched decoder, scatter rows back into query order."""
+    batched decoder, scatter rows back into query order. All bucket
+    programs are dispatched before any result is pulled."""
     list_nos = np.asarray(list_nos, dtype=np.int64)
     lens = container._lengths[list_nos].astype(np.int32)
     max_len = max(int(lens.max()) if len(lens) else 0, 1)
     out = np.zeros((len(list_nos), max_len), dtype=np.uint64)
-    by_bucket: Dict[int, List[int]] = {}
-    for q, ln in enumerate(list_nos):
-        if container._lengths[ln] == 0:
-            continue
-        bi, _ = container._list_to_bucket[int(ln)]
-        by_bucket.setdefault(bi, []).append(q)
-    for bi, qs in by_bucket.items():
+    b_of, l_of = _bucket_maps(container)
+    b = np.where(lens > 0, b_of[list_nos], -1)
+    pend = []
+    for bi in np.unique(b[b >= 0]):
+        qs = np.nonzero(b == bi)[0]
+        lanes = l_of[list_nos[qs]].astype(np.int64)
         bucket = container._buckets[bi]
-        lanes = np.array(
-            [container._list_to_bucket[int(list_nos[q])][1] for q in qs], dtype=np.int64
-        )
-        decoded = np.asarray(decode_fn(bi, lanes, bucket.n_pad))
-        w = min(bucket.n_pad, max_len)
-        out[np.asarray(qs), :w] = decoded[:, :w]
+        pend.append((qs, decode_fn(int(bi), lanes, bucket.n_pad),
+                     bucket.n_pad))
+    for qs, decoded, n_pad in pend:
+        w = min(n_pad, max_len)
+        out[qs, :w] = np.asarray(decoded)[:, :w]
     return out, lens
 
 
@@ -301,22 +382,22 @@ class RocInvertedLists(CompressedInvertedLists):
             )
         self._pallas = {}  # bucket -> RocPallasDecoder, built lazily
 
-    def decode_lists(self, list_nos):
-        def decode_fn(bi, lanes, n_pad):
-            ids = _pallas_decode_lanes(self, bi, lanes)
-            if ids is not None:
-                return ids
-            bucket = self._buckets[bi]
-            states = _gather_lanes(self._states[bi], lanes)
-            lengths = jnp.asarray(bucket.lengths[lanes])
-            prec = self._precisions[bi][jnp.asarray(lanes)]
-            pool = rd.default_pool(n_pad)
-            n_slices = rd.n_slices_for(int(np.asarray(prec).max()))
-            ids, final = rd.roc_decode_batch(states, lengths, prec, pool, n_pad,
-                                             n_slices)
+    def _decode_fn(self, bi, lanes, n_pad):
+        ids = _pallas_decode_lanes(self, bi, lanes)
+        if ids is not None:
             return ids
+        bucket = self._buckets[bi]
+        states = _gather_lanes(self._states[bi], lanes)
+        lengths = jnp.asarray(bucket.lengths[lanes])
+        prec = self._precisions[bi][jnp.asarray(lanes)]
+        pool = rd.default_pool(n_pad)
+        n_slices = rd.n_slices_for(int(np.asarray(prec).max()))
+        ids, final = rd.roc_decode_batch(states, lengths, prec, pool, n_pad,
+                                         n_slices)
+        return ids
 
-        return _decode_by_bucket(self, list_nos, decode_fn)
+    def decode_lists(self, list_nos):
+        return _decode_by_bucket(self, list_nos, self._decode_fn)
 
 
 def _reorder_codes(codes_flat: np.ndarray, order: np.ndarray, code_size: int) -> np.ndarray:
@@ -347,18 +428,21 @@ def _pallas_decode_lanes(container, bi, lanes):
                     np.asarray(container._precisions[bi]),
                     rd.default_pool(bucket.n_pad), bucket.n_pad,
                 )
-            except ValueError:
+                # validate ONE full decode now; per-lane decode is
+                # deterministic, so every later subset decode can skip the
+                # err-flag pull (a host sync that would serialize the
+                # per-bucket translate chain)
+                _, ok = dec.decode()
+                if not ok:
+                    dec = None
+            except Exception:  # ValueError envelope / Mosaic compile
                 dec = None
         container._pallas[bi] = dec
     dec = container._pallas[bi]
     if dec is None:
         return None
-    try:
-        ids, ok = dec.decode_lanes(lanes)
-    except Exception:  # Mosaic compile failure outside the envelope —
-        container._pallas[bi] = None  # permanently take the scan path
-        return None
-    return ids if ok else None
+    ids, _ = dec.decode_lanes(lanes, check=False)
+    return ids
 
 
 # ---------------------------------------------------------------------------
@@ -396,34 +480,24 @@ class EliasFanoInvertedLists(CompressedInvertedLists):
         # excludes this from its accounting — we report it honestly)
         self.overhead_in_bytes = index_words * 4
 
-    def decode_lists(self, list_nos):
-        def decode_fn(bi, lanes, n_pad):
-            ef = self._efs[bi]
-            sub = EliasFanoBatch(
-                high=_gather_lanes(ef.high, lanes),
-                low_words=ef.low_words[jnp.asarray(lanes)],
-                l=ef.l[jnp.asarray(lanes)],
-                m=ef.m[jnp.asarray(lanes)],
-            )
-            return ef_decode_all(sub, n_pad)
+    def _decode_fn(self, bi, lanes, n_pad):
+        ef = self._efs[bi]
+        sub = EliasFanoBatch(
+            high=_gather_lanes(ef.high, lanes),
+            low_words=ef.low_words[jnp.asarray(lanes)],
+            l=ef.l[jnp.asarray(lanes)],
+            m=ef.m[jnp.asarray(lanes)],
+        )
+        return ef_decode_all(sub, n_pad)
 
-        return _decode_by_bucket(self, list_nos, decode_fn)
+    def decode_lists(self, list_nos):
+        return _decode_by_bucket(self, list_nos, self._decode_fn)
 
     def get_single_ids_batch(self, list_nos, offsets):
-        out = np.zeros(len(list_nos), dtype=np.uint64)
-        by_bucket: Dict[int, List[int]] = {}
-        for q, ln in enumerate(list_nos):
-            bi, _ = self._list_to_bucket[int(ln)]
-            by_bucket.setdefault(bi, []).append(q)
-        for bi, qs in by_bucket.items():
-            ef = self._efs[bi]
-            lanes = np.array([self._list_to_bucket[int(list_nos[q])][1] for q in qs])
-            offs = np.array([offsets[q] for q in qs], dtype=np.int32)
-            vals = np.asarray(
-                ef_select(ef, jnp.asarray(lanes, jnp.int32), jnp.asarray(offs))
-            )
-            out[np.asarray(qs)] = vals
-        return out
+        return _select_by_bucket(
+            self, list_nos, offsets,
+            lambda bi, lanes, offs: _ef_select_jit(self._efs[bi], lanes,
+                                                   offs))
 
 
 # ---------------------------------------------------------------------------
@@ -633,6 +707,7 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
                 bi, _ = self._ent_to_bucket[e]
                 by_bucket.setdefault(bi, []).append(e)
         decoded: Dict[int, np.ndarray] = {}
+        pend = []  # dispatch every bucket program before pulling any result
         for bi, ents in by_bucket.items():
             bucket = self._buckets[bi]
             lanes = np.array([self._ent_to_bucket[e][1] for e in ents],
@@ -646,6 +721,8 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
                 ids, _ = rd.roc_decode_batch(
                     states, lengths, prec, rd.default_pool(n_pad), n_pad,
                     rd.n_slices_for(int(np.asarray(prec).max())))
+            pend.append((ents, ids))
+        for ents, ids in pend:
             ids_np = np.asarray(ids)
             for row, e in enumerate(ents):
                 n = int(self._ent_len[e])
