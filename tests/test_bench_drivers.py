@@ -101,3 +101,19 @@ def test_hnsw_bench(tiny, tmp_path):
             assert r["bits_per_edge"] < 32.0
     with open(out) as f:
         assert len(list(csv.DictReader(f))) == len(rows)
+
+
+def test_codec_scale_driver(capsys):
+    """codec_scale runs end-to-end at tiny scale on CPU (interpret-mode
+    Pallas) and reports a correct round-trip + sane JSON row."""
+    import json
+
+    from vector_db_id_compression_tpu.bench.codec_scale import main as scale
+
+    scale(["--ntotal", "3000", "--nlist", "16", "--runs", "1",
+           "--skip-device-encode"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["ntotal"] == 3000 and row["nlist"] == 16
+    # ~log2(ntotal) - log2(n/nlist!)/n + state overhead; sane band
+    assert 2.0 < row["bits_per_id"] < 16.0
+    assert row["decode_mids_s"] > 0
