@@ -72,3 +72,17 @@ def test_search_non_deferred_matches(ds, trained):
     a = run_search(ds, make_args(trained, "none", defer=True), trained)
     b = run_search(ds, make_args(trained, "none", defer=False), trained)
     assert a["results"][0]["recalls"] == b["results"][0]["recalls"]
+
+
+def test_decode_chunked_matches_oneshot(ds, trained):
+    """QincoModel.decode chunks big batches (fixed compiled shape + padded
+    tail); result must equal the one-shot decode."""
+    from vector_db_id_compression_tpu.bench.search_ivf_qinco import load_index
+
+    index = load_index(make_args(trained), trained)
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, index.qinco.ksub,
+                         size=(257, index.qinco.M)).astype(np.int32)
+    one = index.qinco.decode(codes)
+    chunked = index.qinco.decode(codes, batch=64)
+    np.testing.assert_allclose(chunked, one, rtol=1e-6, atol=1e-6)

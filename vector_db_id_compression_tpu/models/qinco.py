@@ -212,9 +212,23 @@ class QincoCodec:
             out.append(c[: len(c) - pad])
         return np.concatenate(out).astype(np.uint8)
 
-    def decode(self, codes: np.ndarray) -> np.ndarray:
+    def decode(self, codes: np.ndarray, batch: int = 32768) -> np.ndarray:
+        # fixed-size batches: one compiled shape, and the decode working set
+        # stays bounded — each step materializes the [B, ksub, d] conditional
+        # codebook (~1 GB at the default), so a 200k-code one-shot decode
+        # OOMed the 10M sweep where the chip already held the scan payloads
         dec = self._jitted("decode", lambda c: self._apply(Qinco.decode, c))
-        return np.asarray(dec(jnp.asarray(codes, jnp.int32)))
+        if len(codes) <= batch:
+            return np.asarray(dec(jnp.asarray(codes, jnp.int32)))
+        out = []
+        for s in range(0, len(codes), batch):
+            cb = np.asarray(codes[s:s + batch], np.int32)
+            pad = batch - len(cb)
+            if pad:
+                cb = np.pad(cb, ((0, pad), (0, 0)))
+            d = np.asarray(dec(jnp.asarray(cb)))
+            out.append(d[: len(d) - pad] if pad else d)
+        return np.concatenate(out)
 
     @property
     def lin_codebooks(self) -> np.ndarray:
