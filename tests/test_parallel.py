@@ -152,6 +152,32 @@ def test_sharded_search_matches_single_device(ivf_setup, mode):
     np.testing.assert_allclose(D, D_ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_search_pq_storage(ivf_setup):
+    """PQ storage rides the sharded decoded-reconstruction scan: 8-device
+    results == the host deferred-decoding search on the same PQ index."""
+    from vector_db_id_compression_tpu.parallel.search import ShardedIVF
+    from vector_db_id_compression_tpu.search.ivf import IndexIVF
+    from vector_db_id_compression_tpu.store.invlists import RocInvertedLists
+
+    rng = np.random.default_rng(11)
+    d, nlist, nb, nq = 16, 24, 600, 25
+    xb = rng.normal(size=(nb, d)).astype(np.float32)
+    xq = rng.normal(size=(nq, d)).astype(np.float32)
+    index = IndexIVF(d, nlist, storage="pq", pq_m=4, nprobe=4)
+    index.train(xb[:400])
+    index.add(xb)
+    container = RocInvertedLists(index.invlists)
+    index.replace_invlists(container)
+    assert index._scan_is_float, "PQ should decode to f32 at this scale"
+    D_ref, I_ref = index.search_defer_id_decoding(
+        xq, 8, nprobe=4, decode_1by1=False)
+
+    sh = ShardedIVF(make_lists_mesh(8), index, container)
+    D, I = sh.search(xq, 8, nprobe=4)
+    np.testing.assert_array_equal(I, I_ref)
+    np.testing.assert_allclose(D, D_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_search_device_count_invariant(ivf_setup):
     """N-device == 1-device results, the §2.4 determinism contract applied
     to the search path."""

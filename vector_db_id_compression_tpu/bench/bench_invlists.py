@@ -114,7 +114,7 @@ def run_bench(ds, index_str: str, runs: int = 100, k: int = 20,
         print(f"  built {m} in {build_time[m]:.2f}s", flush=True)
 
     fused_sh = {}
-    if fused and index.storage in ("flat", "qinco"):
+    if fused and index.storage in ("flat", "qinco", "pq"):
         import jax
         from jax.sharding import Mesh
 

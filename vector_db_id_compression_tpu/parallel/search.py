@@ -59,16 +59,19 @@ _OFF_MASK = jnp.int64((1 << 32) - 1)
 
 
 class ShardedIVF:
-    """IVF flat/qinco search sharded over a 'lists' mesh.
+    """IVF flat/pq/qinco search sharded over a 'lists' mesh.
 
-    ``index`` is a trained search.ivf.IndexIVF with flat or qinco storage;
-    ``container`` selects the ID translation path: None / InvertedLists →
-    raw sharded id table; RocInvertedLists → sharded grouped ANS decode of
-    the touched lists (the deferred-decoding flagship).
+    ``index`` is a trained search.ivf.IndexIVF; ``container`` selects the ID
+    translation path: None / InvertedLists → raw sharded id table;
+    RocInvertedLists → sharded grouped ANS decode of the touched lists (the
+    deferred-decoding flagship). PQ storage scans the *decoded* f32
+    reconstructions — the ADC distance equals the exact L2 to the
+    reconstruction (see search/ivf.py), so the scan stays on the MXU matmul
+    path instead of per-pair LUT gathers.
     """
 
     def __init__(self, mesh: Mesh, index, container=None):
-        assert index.storage in ("flat", "qinco"), "flat/qinco scan only"
+        assert index.storage in ("flat", "qinco", "pq"), "unknown storage"
         self.mesh = mesh
         self.n_shards = mesh.size
         self.nlist = index.nlist
@@ -100,6 +103,9 @@ class ShardedIVF:
                 continue
             if index.storage == "flat":
                 vecs[ln, :, :n] = c.view(np.float32).reshape(n, -1).T
+            elif index.storage == "pq":  # decoded reconstructions (MXU scan)
+                rows = c.reshape(n, index.code_size)
+                vecs[ln, :, :n] = index.pq.decode(rows).T
             else:  # qinco: linear reconstructions (see search/ivf.py NOTE)
                 rows = c.reshape(n, index.code_size)
                 vecs[ln, :, :n] = (
