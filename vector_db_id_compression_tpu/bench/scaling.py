@@ -170,6 +170,10 @@ def main(argv=None):
                args.runs, args.devices)
     print(json.dumps({
         "platform": os.environ.get("JAX_PLATFORMS", "default"),
+        # virtual CPU devices share the host's cores: with host_cores == 1
+        # every shard contends for ONE core's ALUs and the efficiencies
+        # measure SIMD-width headroom, not device scaling (see module doc)
+        "host_cores": os.cpu_count(),
         "mode": "weak_scaling",
         "lists_per_device": args.lists_per_device,
         "ids_per_list": args.ids_per_list, "rows": rows,
