@@ -269,6 +269,17 @@ class ShardedIVF:
         pool = rd.default_pool(n_pad) if mode == "roc" else None
         pb_width = self._pb_width if mode == "packed" else 0
         wt_static = self._wt_static if mode in ("wt", "wt1") else None
+        # scan cost model (same as search/ivf.py): the dense all-lanes scan
+        # streams the payload once but pays top-k over EVERY (query, lane)
+        # slot — nq * B_loc * n_pad keys, ~100x/key the cost of streaming
+        # (NOTES.md) — so it only wins near full probe. The pair path
+        # gathers each probed lane per probing query (more HBM traffic) but
+        # sorts only nq * nprobe * n_pad keys: a 64x top-k saving at
+        # nprobe=16 / B_loc=1024, which is why the dense fused search was
+        # flat at ~0.6 s while the host pair path ran 0.2 s at 1M ids.
+        pair_scan = 4 * nprobe < B_loc
+        P_cap = nq * nprobe
+        budget = int(os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
 
         def local(xq, cents_l, vecs_l, lengths_l, *trans):
             s = jax.lax.axis_index("lists")
@@ -293,29 +304,99 @@ class ShardedIVF:
             # ---- scan: only my probed lists ------------------------------
             lp = probes - base                                # local or out
             in_range = (lp >= 0) & (lp < B_loc)
-            probed = jnp.zeros((nq, B_loc), bool).at[
-                jnp.arange(nq)[:, None],
-                jnp.where(in_range, lp, B_loc).astype(jnp.int32),
-            ].set(True, mode="drop")
-            # vecs_l is channel-major [B_loc, d, n_pad]
-            dots2 = jnp.einsum("qd,bdn->qbn", xq, vecs_l,
-                               preferred_element_type=jnp.float32)
-            y2 = jnp.sum(vecs_l * vecs_l, axis=1)        # [B_loc, n_pad]
-            d2 = y2[None] - 2.0 * dots2                  # [nq, B_loc, n_pad]
-            slot_ok = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
-                       < lengths_l[:, None])
-            d2 = jnp.where(probed[:, :, None] & slot_ok[None], d2, jnp.inf)
-            flat_d = d2.reshape(nq, B_loc * n_pad)
-            kk = min(k, B_loc * n_pad)
-            neg, pos = jax.lax.top_k(-flat_d, kk)
-            if kk < k:
-                neg = jnp.pad(neg, ((0, 0), (0, k - kk)),
-                              constant_values=-jnp.inf)
-                pos = jnp.pad(pos, ((0, 0), (0, k - kk)))
-            b_idx = (pos // n_pad).astype(jnp.int64)
-            off = (pos % n_pad).astype(jnp.int64)
-            lab = ((base + b_idx) << 32) | off
-            lab = jnp.where(jnp.isfinite(-neg), lab, jnp.int64(-1))
+            if pair_scan:
+                # gather the probed (query, lane) pairs; top-k per pair only
+                flat_lp = jnp.where(in_range, lp, B_loc).astype(
+                    jnp.int32).reshape(-1)                    # [nq*nprobe]
+                sel = jnp.nonzero(flat_lp < B_loc, size=P_cap,
+                                  fill_value=P_cap)[0]
+                valid_pair = sel < P_cap
+                sel_safe = jnp.minimum(sel, P_cap - 1).astype(jnp.int32)
+                q_idx = sel_safe // nprobe
+                p_idx = sel_safe % nprobe
+                lane = flat_lp[sel_safe]       # may be B_loc on pad rows
+                k_p = min(k, n_pad)
+                # slab the pair gather so the [C, d, n_pad] payload stays
+                # under the scan budget (same chunking as the host path)
+                C = max(1, min(P_cap, budget // max(d * n_pad, 1)))
+                n_slabs = -(-P_cap // C)
+                Ppad = n_slabs * C
+                lane_p, q_p = lane, q_idx
+                if Ppad > P_cap:
+                    lane_p = jnp.concatenate(
+                        [lane, jnp.zeros(Ppad - P_cap, jnp.int32)])
+                    q_p = jnp.concatenate(
+                        [q_idx, jnp.zeros(Ppad - P_cap, jnp.int32)])
+
+                def slab(i, out):
+                    st = i * C
+                    ln_s = jax.lax.dynamic_slice(lane_p, (st,), (C,))
+                    q_s = jax.lax.dynamic_slice(q_p, (st,), (C,))
+                    rows = vecs_l[jnp.minimum(ln_s, B_loc - 1)]
+                    dots_p = jnp.einsum(
+                        "cd,cdn->cn", xq[q_s], rows,
+                        preferred_element_type=jnp.float32)
+                    y2_p = jnp.sum(rows * rows, axis=1)
+                    d2_p = y2_p - 2.0 * dots_p
+                    ok = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+                          < lengths_l[jnp.minimum(ln_s, B_loc - 1)][:, None])
+                    d2_p = jnp.where(ok, d2_p, jnp.inf)
+                    nk, oi = jax.lax.top_k(-d2_p, k_p)
+                    return (jax.lax.dynamic_update_slice(out[0], nk, (st, 0)),
+                            jax.lax.dynamic_update_slice(out[1], oi, (st, 0)))
+
+                negp, offp = jax.lax.fori_loop(
+                    0, n_slabs, slab,
+                    (jnp.full((Ppad, k_p), -jnp.inf, jnp.float32),
+                     jnp.zeros((Ppad, k_p), jnp.int32)))
+                negp, offp = negp[:P_cap], offp[:P_cap]
+                labp = (((base + lane.astype(jnp.int64))[:, None] << 32)
+                        | offp.astype(jnp.int64))
+                okl = valid_pair[:, None] & jnp.isfinite(-negp)
+                labp = jnp.where(okl, labp, jnp.int64(-1))
+                negp = jnp.where(okl, negp, -jnp.inf)
+                # scatter pair shortlists to their (query, probe) slot —
+                # unique per pair — then local top-k across the probes
+                q_tgt = jnp.where(valid_pair, q_idx, nq)  # nq = dropped
+                cd = jnp.full((nq, nprobe, k_p), -jnp.inf, jnp.float32).at[
+                    q_tgt, p_idx].set(negp, mode="drop")
+                cl = jnp.full((nq, nprobe, k_p), -1, jnp.int64).at[
+                    q_tgt, p_idx].set(labp, mode="drop")
+                kk = min(k, nprobe * k_p)
+                neg, pos = jax.lax.top_k(cd.reshape(nq, nprobe * k_p), kk)
+                lab = jnp.take_along_axis(
+                    cl.reshape(nq, nprobe * k_p), pos, axis=1)
+                if kk < k:
+                    neg = jnp.pad(neg, ((0, 0), (0, k - kk)),
+                                  constant_values=-jnp.inf)
+                    lab = jnp.pad(lab, ((0, 0), (0, k - kk)),
+                                  constant_values=-1)
+                lab = jnp.where(jnp.isfinite(-neg), lab, jnp.int64(-1))
+            else:
+                probed = jnp.zeros((nq, B_loc), bool).at[
+                    jnp.arange(nq)[:, None],
+                    jnp.where(in_range, lp, B_loc).astype(jnp.int32),
+                ].set(True, mode="drop")
+                # vecs_l is channel-major [B_loc, d, n_pad]
+                dots2 = jnp.einsum("qd,bdn->qbn", xq, vecs_l,
+                                   preferred_element_type=jnp.float32)
+                y2 = jnp.sum(vecs_l * vecs_l, axis=1)    # [B_loc, n_pad]
+                d2 = y2[None] - 2.0 * dots2              # [nq, B_loc, n_pad]
+                slot_ok = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+                           < lengths_l[:, None])
+                d2 = jnp.where(probed[:, :, None] & slot_ok[None], d2,
+                               jnp.inf)
+                flat_d = d2.reshape(nq, B_loc * n_pad)
+                kk = min(k, B_loc * n_pad)
+                neg, pos = jax.lax.top_k(-flat_d, kk)
+                if kk < k:
+                    neg = jnp.pad(neg, ((0, 0), (0, k - kk)),
+                                  constant_values=-jnp.inf)
+                    pos = jnp.pad(pos, ((0, 0), (0, k - kk)))
+                b_idx = (pos // n_pad).astype(jnp.int64)
+                off = (pos % n_pad).astype(jnp.int64)
+                lab = ((base + b_idx) << 32) | off
+                lab = jnp.where(jnp.isfinite(-neg), lab, jnp.int64(-1))
 
             # ---- merge: replicated global top-k --------------------------
             g_d = jnp.moveaxis(jax.lax.all_gather(-neg, "lists"), 0, 1
