@@ -178,6 +178,63 @@ def test_sharded_search_pq_storage(ivf_setup):
     np.testing.assert_allclose(D, D_ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["raw", "roc", "elias-fano"])
+def test_process_local_ctor_matches_device_put(ivf_setup, mode):
+    """The process-local construction path (make_array_from_process_local_data
+    fed with this process's rows — the multi-process default) must produce
+    identical D/I to the legacy full-host-array device_put path on the same
+    8-device mesh (single-process: local rows == all rows)."""
+    from vector_db_id_compression_tpu.parallel.search import ShardedIVF
+    from vector_db_id_compression_tpu.store.invlists import (
+        AVAILABLE_COMPRESSED_IVFS,
+    )
+
+    index, xq = ivf_setup
+    container = (index.invlists if mode == "raw"
+                 else AVAILABLE_COMPRESSED_IVFS[mode](index.invlists))
+    index.replace_invlists(container)
+    mesh = make_lists_mesh(8)
+    sh_pl = ShardedIVF(mesh, index, container)  # process-local (default)
+    sh_dp = ShardedIVF(mesh, index, container, process_local=False)
+    D_pl, I_pl = sh_pl.search(xq, 10, nprobe=4)
+    D_dp, I_dp = sh_dp.search(xq, 10, nprobe=4)
+    np.testing.assert_array_equal(I_pl, I_dp)
+    np.testing.assert_allclose(D_pl, D_dp, rtol=1e-6)
+
+
+def test_sharded_search_pq_lut_scan(ivf_setup):
+    """Past the PQ decode budget the sharded scan falls back to the u8
+    code payload + LUT gather-sum (the host path's VDBIDC_PQ_DECODE_SCAN=0
+    policy — ADVICE r2) and must still match the host search."""
+    import os
+
+    from vector_db_id_compression_tpu.parallel.search import ShardedIVF
+    from vector_db_id_compression_tpu.search.ivf import IndexIVF
+    from vector_db_id_compression_tpu.store.invlists import RocInvertedLists
+
+    rng = np.random.default_rng(13)
+    d, nlist, nb, nq = 16, 24, 600, 25
+    xb = rng.normal(size=(nb, d)).astype(np.float32)
+    xq = rng.normal(size=(nq, d)).astype(np.float32)
+    index = IndexIVF(d, nlist, storage="pq", pq_m=4, nprobe=4)
+    index.train(xb[:400])
+    index.add(xb)
+    container = RocInvertedLists(index.invlists)
+    os.environ["VDBIDC_PQ_DECODE_SCAN"] = "0"
+    try:
+        index.replace_invlists(container)
+        assert not index._scan_is_float
+        D_ref, I_ref = index.search_defer_id_decoding(
+            xq, 8, nprobe=4, decode_1by1=False)
+        sh = ShardedIVF(make_lists_mesh(8), index, container)
+        assert not sh._scan_is_float
+        D, I = sh.search(xq, 8, nprobe=4)
+    finally:
+        del os.environ["VDBIDC_PQ_DECODE_SCAN"]
+    np.testing.assert_array_equal(I, I_ref)
+    np.testing.assert_allclose(D, D_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_search_device_count_invariant(ivf_setup):
     """N-device == 1-device results, the §2.4 determinism contract applied
     to the search path."""

@@ -35,8 +35,9 @@ def main():
         il.codes[ln] = np.zeros(len(members) * code_size, np.uint8)
 
     Q = 20_000
-    lns = rng.integers(0, nlist, size=Q).astype(np.int64)
     lengths = np.array([len(il.ids[ln]) for ln in range(nlist)])
+    nonempty = np.flatnonzero(lengths > 0)  # empty lists: offs would be 0
+    lns = nonempty[rng.integers(0, len(nonempty), size=Q)].astype(np.int64)
     offs = (rng.random(Q) * lengths[lns]).astype(np.int32)
     expect = np.array([il.ids[ln][off] for ln, off in zip(lns, offs)],
                       dtype=np.uint64)

@@ -147,6 +147,10 @@ def run(lists_per_device: int, ids_per_list: int, seed: int, runs: int,
                "decode_mids_s": round(ntotal / t_dec / 1e6, 3)}
         if not base_t:
             base_t = dict(row)
+            if N != 1:
+                log(f"warning: efficiency baseline is N={N}, not 1 "
+                    "(pass --devices starting at 1 for T(1)/T(N))")
+        row["eff_vs"] = base_t["n_devices"]  # baseline N the effs divide by
         for key in ("encode", "decode"):
             row[f"{key}_eff"] = round(base_t[f"{key}_s"] / row[f"{key}_s"], 3)
         rows.append(row)

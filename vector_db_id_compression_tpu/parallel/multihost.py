@@ -13,13 +13,19 @@ One process per host, standard JAX multi-process model:
     mesh = multihost.global_lists_mesh()    # all devices on all hosts
     ...build ShardedIVF(mesh, ...) exactly as on one host...
 
-Each process feeds only its addressable shard of globally-sharded arrays
-(`host_local_slice` below); results computed after collectives are
-replicated, so every host sees the full (D, I).
+Each process feeds only its addressable rows of globally-sharded arrays:
+`ShardedIVF`'s constructor is process-local by default — it materializes
+rows [lo, hi) from `process_shard_bounds`/the sharding's addressable index
+map and assembles globals with `jax.make_array_from_process_local_data`
+(never `device_put` of full host arrays, which raises for non-addressable
+shardings). Results computed after collectives are replicated, so every
+host sees the full (D, I).
 
 This environment has no second host to run against — coverage is the
-8-virtual-device CPU mesh tests plus `__graft_entry__.dryrun_multichip`;
-the initialize() path is exercised in its single-process no-op form.
+8-virtual-device CPU mesh tests (including process-local == device_put
+construction equality, tests/test_parallel.py) plus
+`__graft_entry__.dryrun_multichip`; the initialize() path is exercised in
+its single-process no-op form.
 """
 
 from __future__ import annotations
@@ -74,6 +80,7 @@ def process_shard_bounds(n_rows: int) -> tuple[int, int]:
 
 def host_local_slice(arr: np.ndarray) -> np.ndarray:
     """The rows of a global lists-sharded host array this process feeds to
-    jax.make_array_from_process_local_data."""
+    jax.make_array_from_process_local_data (ShardedIVF computes the same
+    bounds internally via the sharding's addressable-device index map)."""
     lo, hi = process_shard_bounds(arr.shape[0])
     return arr[lo:hi]

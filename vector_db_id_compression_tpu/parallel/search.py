@@ -25,9 +25,20 @@ shard_map program per query batch:
 
 Lists are sharded contiguously (shard s owns rows [s*B_loc, (s+1)*B_loc)),
 so artifact/list order is deterministic and N-device results match 1-device
-results (asserted in tests/test_parallel.py). Process-count agnostic: under
-``jax.distributed.initialize`` (parallel.multihost) the same program spans
-hosts with the collectives riding ICI/DCN.
+results (asserted in tests/test_parallel.py).
+
+Multi-process: the constructor is process-local by default — each process
+materializes ONLY the rows its addressable devices own and feeds them
+through ``jax.make_array_from_process_local_data`` (never ``device_put`` of
+a full host array, which raises for non-addressable shardings). Under
+``jax.distributed.initialize`` (parallel.multihost) the same ctor + program
+span hosts, with the coarse/merge all_gathers and the translation psum
+riding ICI/DCN. Per-list metadata (lengths, bucket capacities) stays global
+on every process — it is O(nlist) ints; the O(ntotal) payload/codec tables
+are only ever materialized for local rows. The single-kernel Pallas
+translate path is single-process-only for now (its decoder pads lanes with
+host-side global maxima); multi-process ROC falls back to the XLA decode
+chain.
 """
 
 from __future__ import annotations
@@ -58,6 +69,25 @@ from ..store.invlists import (
 _OFF_MASK = jnp.int64((1 << 32) - 1)
 
 
+def _addressable_row_bounds(mesh: Mesh, n_rows: int) -> tuple[int, int]:
+    """[lo, hi) rows of a P('lists')-sharded [n_rows, ...] array owned by
+    THIS process's addressable devices. Rows are sharded contiguously
+    (mesh device order == jax.devices() order == process order), so the
+    union of local shards is one contiguous range."""
+    sh = NamedSharding(mesh, P("lists"))
+    idxs = [ix[0] for ix in
+            sh.addressable_devices_indices_map((n_rows,)).values()]
+    starts = [ix.start or 0 for ix in idxs]
+    stops = [n_rows if ix.stop is None else ix.stop for ix in idxs]
+    lo, hi = min(starts), max(stops)
+    spans = sorted(zip(starts, stops))
+    cover = spans[0][0]
+    for s, e in spans:
+        assert s <= cover, "non-contiguous process shard layout"
+        cover = max(cover, e)
+    return lo, hi
+
+
 class ShardedIVF:
     """IVF flat/pq/qinco search sharded over a 'lists' mesh.
 
@@ -65,12 +95,20 @@ class ShardedIVF:
     translation path: None / InvertedLists → raw sharded id table;
     RocInvertedLists → sharded grouped ANS decode of the touched lists (the
     deferred-decoding flagship). PQ storage scans the *decoded* f32
-    reconstructions — the ADC distance equals the exact L2 to the
-    reconstruction (see search/ivf.py), so the scan stays on the MXU matmul
-    path instead of per-pair LUT gathers.
+    reconstructions when they fit VDBIDC_PQ_DECODE_BUDGET — the ADC distance
+    equals the exact L2 to the reconstruction (see search/ivf.py), so the
+    scan stays on the MXU matmul path; past the budget (or with
+    VDBIDC_PQ_DECODE_SCAN=0) it falls back to the byte-payload LUT scan,
+    mirroring the host path's policy.
+
+    ``process_local=True`` (default): each process builds only the rows its
+    addressable devices own (multi-process ready). ``False`` keeps the
+    legacy full-host-array ``device_put`` construction — single-process
+    only, retained so tests can assert both paths produce identical D/I.
     """
 
-    def __init__(self, mesh: Mesh, index, container=None):
+    def __init__(self, mesh: Mesh, index, container=None,
+                 process_local: bool = True):
         assert index.storage in ("flat", "qinco", "pq"), "unknown storage"
         self.mesh = mesh
         self.n_shards = mesh.size
@@ -78,13 +116,33 @@ class ShardedIVF:
         self.d = index.d
         container = container if container is not None else index.invlists
         self.container = container
+        self._process_local = process_local
 
         N = self.n_shards
         self.nlist_pad = ((self.nlist + N - 1) // N) * N
         self.b_loc = self.nlist_pad // N
+        # per-list metadata stays GLOBAL on every process (O(nlist) ints);
+        # only O(ntotal) payload below is restricted to local rows
         lengths = np.zeros(self.nlist_pad, dtype=np.int32)
         lengths[: self.nlist] = np.asarray(container.lengths, np.int32)
         self.n_pad = max(int(lengths.max()), 1)
+        lo, hi = ((0, self.nlist_pad) if not process_local
+                  else _addressable_row_bounds(mesh, self.nlist_pad))
+        self._rows = (lo, hi)
+        R = hi - lo
+        row_lns = range(lo, min(hi, self.nlist))  # real (non-pad) local rows
+
+        # scan representation: f32 reconstructions (MXU) vs u8 codes + LUT
+        # (honors the same budget/env opt-out as search/ivf.py:350-359)
+        self._scan_is_float = index.storage in ("flat", "qinco")
+        if index.storage == "pq":
+            budget_el = int(os.environ.get("VDBIDC_PQ_DECODE_BUDGET",
+                                           str(2 ** 30)))
+            self._scan_is_float = (
+                os.environ.get("VDBIDC_PQ_DECODE_SCAN", "1") != "0"
+                and self.nlist_pad * self.n_pad * index.d <= budget_el)
+        self._pq_m = index.pq.M if index.storage == "pq" else 0
+        self._width = self.d if self._scan_is_float else self._pq_m
 
         # scan payload in the ACTIVE container's code order (same invariant
         # as IndexIVF.replace_invlists)
@@ -92,36 +150,44 @@ class ShardedIVF:
             container.get_codes if hasattr(container, "get_codes")
             else (lambda ln: container.codes[ln])
         )
-        # channel-major [lists, d, n_pad]: the minormost dim must be the long
-        # one — a [.., n_pad, d] layout tile-pads d up to 128 lanes in HBM
-        # (4x at d=32), which OOMs at 10M ids (see search/ivf.py _ScanBucket)
-        vecs = np.zeros((self.nlist_pad, index.d, self.n_pad), np.float32)
-        for ln in range(self.nlist):
+        # channel-major [lists, d|M, n_pad]: the minormost dim must be the
+        # long one — a [.., n_pad, d] layout tile-pads d up to 128 lanes in
+        # HBM (4x at d=32), which OOMs at 10M ids (see search/ivf.py)
+        vecs = np.zeros((R, self._width, self.n_pad),
+                        np.float32 if self._scan_is_float else np.uint8)
+        for ln in row_lns:
             c = np.asarray(get_codes(ln), np.uint8)
             n = len(c) // index.code_size
             if n == 0:
                 continue
+            r = ln - lo
             if index.storage == "flat":
-                vecs[ln, :, :n] = c.view(np.float32).reshape(n, -1).T
-            elif index.storage == "pq":  # decoded reconstructions (MXU scan)
+                vecs[r, :, :n] = c.view(np.float32).reshape(n, -1).T
+            elif index.storage == "pq":
                 rows = c.reshape(n, index.code_size)
-                vecs[ln, :, :n] = index.pq.decode(rows).T
+                if self._scan_is_float:  # decoded reconstructions (MXU scan)
+                    vecs[r, :, :n] = index.pq.decode(rows).T
+                else:  # raw u8 codes, channel-major (LUT scan)
+                    vecs[r, :, :n] = rows.T
             else:  # qinco: linear reconstructions (see search/ivf.py NOTE)
                 rows = c.reshape(n, index.code_size)
-                vecs[ln, :, :n] = (
+                vecs[r, :, :n] = (
                     index.qinco.lin_decode(rows[:, : index.qinco.M])
                     + index.centroids[ln]
                 ).T
 
-        cents = np.zeros((self.nlist_pad, index.d), np.float32)
-        cents[: self.nlist] = index.centroids
+        cents = np.zeros((R, index.d), np.float32)
+        cents[: max(min(hi, self.nlist) - lo, 0)] = index.centroids[
+            lo: min(hi, self.nlist)]
 
-        shard_l = NamedSharding(mesh, P("lists"))
-        self._cents = jax.device_put(jnp.asarray(cents),
-                                     NamedSharding(mesh, P("lists", None)))
-        self._vecs = jax.device_put(
-            jnp.asarray(vecs), NamedSharding(mesh, P("lists", None, None)))
-        self._lengths = jax.device_put(jnp.asarray(lengths), shard_l)
+        self._cents = self._put(cents, P("lists", None))
+        self._vecs = self._put(vecs, P("lists", None, None))
+        self._lengths = self._put(lengths[lo:hi], P("lists"))
+        if not self._scan_is_float:
+            # subspace centroids ride replicated; each shard builds the
+            # [nq, M, ksub] LUTs itself (tiny, replicated compute)
+            self._pq_cents = self._put(
+                np.asarray(index.pq.centroids, np.float32), P())
 
         # ---- translation tables ------------------------------------------
         # each container maps onto the translate stage differently: ROC is
@@ -131,32 +197,35 @@ class ShardedIVF:
         # owns); raw is a sharded id table
         if isinstance(container, RocInvertedLists):
             self._mode = "roc"
-            st, prec = _roc_states_in_list_order(container, self.nlist_pad)
-            spec = rd.RocStates(*(P("lists"),) * 5)
+            st, prec = _roc_states_in_list_order(container, lo, hi)
             self._states = jax.tree_util.tree_map(
-                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-                st, spec)
-            self._prec = jax.device_put(jnp.asarray(prec), shard_l)
-            self._n_slices = rd.n_slices_for(int(prec.max(initial=1)))
-            self._pallas = self._try_pallas_translate(st, lengths, prec)
+                lambda a: self._put(a, P("lists")), st)
+            self._prec = self._put(prec, P("lists"))
+            self._n_slices = rd.n_slices_for(
+                int(max((int(np.asarray(p).max(initial=1))
+                         for p in container._precisions), default=1)))
+            # the Pallas decoder builds its lane buffers from host-side
+            # global maxima — single-process only; multi-process ROC uses
+            # the XLA decode chain
+            self._pallas = (
+                self._try_pallas_translate(st, lengths, prec)
+                if (lo, hi) == (0, self.nlist_pad) else None)
         elif isinstance(container, PackedBitsInvertedLists):
             self._mode = "packed"
             self._pb_width = container.bits
             W = max(
                 int(np.asarray(pb.words).shape[1]) for pb in container._packed)
-            words = np.zeros((self.nlist_pad, W), np.uint32)
-            for ln in range(self.nlist):
+            words = np.zeros((R, W), np.uint32)
+            for ln in row_lns:
                 if ln not in container._list_to_bucket:
                     continue  # empty list: no packed words, never queried
                 bi, lane = container._list_to_bucket[ln]
                 w = np.asarray(container._packed[bi].words)[lane]
-                words[ln, : len(w)] = w
-            self._pb_words = jax.device_put(
-                jnp.asarray(words), NamedSharding(mesh, P("lists", None)))
+                words[ln - lo, : len(w)] = w
+            self._pb_words = self._put(words, P("lists", None))
         elif isinstance(container, EliasFanoInvertedLists):
             self._mode = "ef"
-            self._ef_arrays = _ef_in_list_order(container, self.nlist_pad,
-                                                mesh)
+            self._ef_arrays = _ef_in_list_order(container, lo, hi, self._put)
         elif isinstance(container, WaveletTreeInvertedLists):
             self._mode = "wt" if container.wt_type == 0 else "wt1"
             # global structure over ntotal — replicated across the mesh;
@@ -167,17 +236,32 @@ class ShardedIVF:
                       else (wt.classes, wt.off_words, wt.sb_off_start,
                             wt.sb_rank))
             self._wt_arrays = tuple(
-                jax.device_put(a, NamedSharding(mesh, P())) for a in fields)
+                self._put(np.asarray(a), P()) for a in fields)
         else:
             self._mode = "raw"
-            ids = np.zeros((self.nlist_pad, self.n_pad), np.uint64)
-            for ln in range(self.nlist):
+            ids = np.zeros((R, self.n_pad), np.uint64)
+            for ln in row_lns:
                 v = (container.ids[ln] if isinstance(container, InvertedLists)
                      else container.get_ids(ln))
-                ids[ln, : len(v)] = v
-            self._ids = jax.device_put(
-                jnp.asarray(ids), NamedSharding(mesh, P("lists", None)))
+                ids[ln - lo, : len(v)] = v
+            self._ids = self._put(ids, P("lists", None))
         self._compiled = {}
+
+    # ------------------------------------------------- global array assembly
+
+    def _put(self, local: np.ndarray, spec: P) -> jax.Array:
+        """Assemble a global mesh-sharded array from this process's local
+        rows (make_array_from_process_local_data — works under any process
+        count) or, in legacy mode, device_put the full host array."""
+        sh = NamedSharding(self.mesh, spec)
+        local = np.asarray(local)
+        if not self._process_local:
+            return jax.device_put(jnp.asarray(local), sh)
+        if spec and len(spec) > 0 and spec[0] == "lists":
+            gshape = (self.nlist_pad,) + local.shape[1:]
+        else:  # replicated: every process holds the full array
+            gshape = local.shape
+        return jax.make_array_from_process_local_data(sh, local, gshape)
 
     # -------------------------------------------------- Pallas translation
 
@@ -224,12 +308,30 @@ class ShardedIVF:
     def search(self, xq: np.ndarray, k: int, nprobe: int):
         """Deferred-decoding search → (D f32[nq, k], I i64[nq, k]); ids are
         fully translated, -1 for empty slots. One device program per query
-        chunk (chunked so the scan's [nq_c, B_loc*n_pad] distance slab stays
-        under ~VDBIDC_SCAN_BUDGET f32 elements per shard)."""
+        chunk, sized so per-shard scan memory stays under
+        ~VDBIDC_SCAN_BUDGET f32 elements: the dense path materializes a
+        [nq_c, B_loc*n_pad] distance slab; the pair path's big buffers are
+        slab-bounded internally, so its nq-scaling footprint is just the
+        [nq_c*nprobe, k]-class shortlist tensors."""
         xq = np.asarray(xq, np.float32)
         nq = len(xq)
         budget = int(os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
         nq_c = max(1, min(nq, budget // max(self.b_loc * self.n_pad, 1)))
+        return self._search_all(xq, nq, nq_c, k, nprobe)
+
+    def _pair_scan(self, nprobe: int) -> bool:
+        """Scan-path choice, independent of mesh size (the 1-device rule):
+        flipping paths with device count would change tie-break order in
+        shard-local top-k under exact distance ties (ADVICE r2)."""
+        return 4 * nprobe < self.nlist_pad
+
+    def _search_all(self, xq, nq, nq_c, k, nprobe):
+        if self._pair_scan(nprobe):
+            # pair-path footprint per query is ~4 shortlist tensors of
+            # nprobe*k entries (payload gathers are slab-bounded inside the
+            # program) — don't let the dense-slab formula force tiny chunks
+            budget = int(os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
+            nq_c = max(nq_c, min(nq, budget // max(4 * nprobe * k, 1)))
         if nq_c >= nq:
             return self._search_chunk(xq, k, nprobe)
         D = np.empty((nq, k), np.float32)
@@ -259,6 +361,8 @@ class ShardedIVF:
     def _build(self, nq: int, k: int, nprobe: int):
         B_loc, n_pad, d = self.b_loc, self.n_pad, self.d
         nlist, mode = self.nlist, self._mode
+        scan_float, pq_m = self._scan_is_float, self._pq_m
+        width = self._width
         pl_nmax = pl_capp = 0
         if mode == "roc" and getattr(self, "_pallas", None) is not None:
             mode = "roc_pl"
@@ -274,14 +378,31 @@ class ShardedIVF:
         # slot — nq * B_loc * n_pad keys, ~100x/key the cost of streaming
         # (NOTES.md) — so it only wins near full probe. The pair path
         # gathers each probed lane per probing query (more HBM traffic) but
-        # sorts only nq * nprobe * n_pad keys: a 64x top-k saving at
-        # nprobe=16 / B_loc=1024, which is why the dense fused search was
-        # flat at ~0.6 s while the host pair path ran 0.2 s at 1M ids.
-        pair_scan = 4 * nprobe < B_loc
+        # sorts only nq * nprobe * n_pad keys. The choice is made on GLOBAL
+        # shape (nlist_pad, not B_loc) so results don't change with device
+        # count under exact distance ties (ADVICE r2).
+        pair_scan = self._pair_scan(nprobe)
         P_cap = nq * nprobe
         budget = int(os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
 
-        def local(xq, cents_l, vecs_l, lengths_l, *trans):
+        def lut_from(xq, pq_c):
+            """Replicated per-query ADC LUTs f32[nq, M, ksub] (complete
+            squared L2 — no +||x||^2 term needed at merge)."""
+            dsub = d // pq_m
+            xs = xq.reshape(nq, pq_m, dsub)
+            dots = jnp.einsum("qmd,mkd->qmk", xs, pq_c,
+                              preferred_element_type=jnp.float32)
+            c2 = jnp.sum(pq_c * pq_c, axis=2)
+            x2s = jnp.sum(xs * xs, axis=2)
+            return x2s[:, :, None] - 2.0 * dots + c2[None, :, :]
+
+        def local(xq, cents_l, vecs_l, lengths_l, *rest):
+            if scan_float:
+                trans = rest
+                luts = None
+            else:
+                pq_c, *trans = rest
+                luts = lut_from(xq, pq_c)
             s = jax.lax.axis_index("lists")
             base = (s * B_loc).astype(jnp.int64)
             gl = base + jnp.arange(B_loc, dtype=jnp.int64)   # global list ids
@@ -316,9 +437,9 @@ class ShardedIVF:
                 p_idx = sel_safe % nprobe
                 lane = flat_lp[sel_safe]       # may be B_loc on pad rows
                 k_p = min(k, n_pad)
-                # slab the pair gather so the [C, d, n_pad] payload stays
-                # under the scan budget (same chunking as the host path)
-                C = max(1, min(P_cap, budget // max(d * n_pad, 1)))
+                # slab the pair gather so the [C, width, n_pad] payload
+                # stays under the scan budget (same chunking as host path)
+                C = max(1, min(P_cap, budget // max(width * n_pad, 1)))
                 n_slabs = -(-P_cap // C)
                 Ppad = n_slabs * C
                 lane_p, q_p = lane, q_idx
@@ -333,11 +454,16 @@ class ShardedIVF:
                     ln_s = jax.lax.dynamic_slice(lane_p, (st,), (C,))
                     q_s = jax.lax.dynamic_slice(q_p, (st,), (C,))
                     rows = vecs_l[jnp.minimum(ln_s, B_loc - 1)]
-                    dots_p = jnp.einsum(
-                        "cd,cdn->cn", xq[q_s], rows,
-                        preferred_element_type=jnp.float32)
-                    y2_p = jnp.sum(rows * rows, axis=1)
-                    d2_p = y2_p - 2.0 * dots_p
+                    if scan_float:
+                        dots_p = jnp.einsum(
+                            "cd,cdn->cn", xq[q_s], rows,
+                            preferred_element_type=jnp.float32)
+                        y2_p = jnp.sum(rows * rows, axis=1)
+                        d2_p = y2_p - 2.0 * dots_p
+                    else:  # LUT gather-sum over the pair's code bytes
+                        lut_p = luts[q_s]                     # [C, M, ksub]
+                        d2_p = jnp.sum(jnp.take_along_axis(
+                            lut_p, rows.astype(jnp.int32), axis=2), axis=1)
                     ok = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
                           < lengths_l[jnp.minimum(ln_s, B_loc - 1)][:, None])
                     d2_p = jnp.where(ok, d2_p, jnp.inf)
@@ -377,11 +503,19 @@ class ShardedIVF:
                     jnp.arange(nq)[:, None],
                     jnp.where(in_range, lp, B_loc).astype(jnp.int32),
                 ].set(True, mode="drop")
-                # vecs_l is channel-major [B_loc, d, n_pad]
-                dots2 = jnp.einsum("qd,bdn->qbn", xq, vecs_l,
-                                   preferred_element_type=jnp.float32)
-                y2 = jnp.sum(vecs_l * vecs_l, axis=1)    # [B_loc, n_pad]
-                d2 = y2[None] - 2.0 * dots2              # [nq, B_loc, n_pad]
+                if scan_float:
+                    # vecs_l is channel-major [B_loc, d, n_pad]
+                    dots2 = jnp.einsum("qd,bdn->qbn", xq, vecs_l,
+                                       preferred_element_type=jnp.float32)
+                    y2 = jnp.sum(vecs_l * vecs_l, axis=1)  # [B_loc, n_pad]
+                    d2 = y2[None] - 2.0 * dots2            # [nq, B_loc, n_pad]
+                else:
+                    # LUT sum per subspace: [nq, ksub] x idx[B_loc, n_pad]
+                    d2 = jnp.zeros((nq, B_loc, n_pad), jnp.float32)
+                    for m in range(pq_m):
+                        d2 = d2 + jnp.take(
+                            luts[:, m], vecs_l[:, m].astype(jnp.int32),
+                            axis=1)
                 slot_ok = (jnp.arange(n_pad, dtype=jnp.int32)[None, :]
                            < lengths_l[:, None])
                 d2 = jnp.where(probed[:, :, None] & slot_ok[None], d2,
@@ -488,8 +622,12 @@ class ShardedIVF:
             I = jax.lax.psum(part, "lists")
             I = jnp.where(L >= 0, I, jnp.int64(-1))
 
-            x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
-            D = jnp.where(L >= 0, D + x2, jnp.inf)
+            if scan_float:
+                # flat/qinco distances omit the query norm; LUT distances
+                # are already the complete squared L2
+                x2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+                D = D + x2
+            D = jnp.where(L >= 0, D, jnp.inf)
             return D, I
 
         if mode == "roc_pl":
@@ -510,6 +648,9 @@ class ShardedIVF:
         else:
             trans_specs = (P("lists"),)
             trans_args = (self._ids,)
+        if not scan_float:
+            trans_specs = (P(), *trans_specs)
+            trans_args = (self._pq_cents, *trans_args)
 
         fn = shard_map(
             local, mesh=self.mesh,
@@ -527,64 +668,72 @@ class ShardedIVF:
         return lambda xq: jitted(xq, *args)
 
 
-def _ef_in_list_order(c: EliasFanoInvertedLists, nlist_pad: int, mesh: Mesh):
+def _ef_in_list_order(c: EliasFanoInvertedLists, lo: int, hi: int, put):
     """Flatten bucketized EF batches into one global-list-order batch of
-    lane-sharded plain arrays (hw, hsb, hnb, low, l, m)."""
+    lane-sharded plain arrays (hw, hsb, hnb, low, l, m), building only rows
+    [lo, hi) and assembling globals via ``put``. Word widths are global
+    maxima over ALL buckets so every process pads identically."""
     HW = max(int(np.asarray(ef.high.words).shape[1]) for ef in c._efs)
     LW = max(int(np.asarray(ef.low_words).shape[1]) for ef in c._efs)
-    high = np.zeros((nlist_pad, HW), np.uint32)
-    nbits = np.zeros(nlist_pad, np.int32)
-    low = np.zeros((nlist_pad, LW), np.uint32)
-    l = np.zeros(nlist_pad, np.int32)
-    m = np.zeros(nlist_pad, np.int32)
-    for ln in range(c.nlist):
+    R = hi - lo
+    high = np.zeros((R, HW), np.uint32)
+    nbits = np.zeros(R, np.int32)
+    low = np.zeros((R, LW), np.uint32)
+    l = np.zeros(R, np.int32)
+    m = np.zeros(R, np.int32)
+    for ln in range(lo, min(hi, c.nlist)):
         if ln not in c._list_to_bucket:
             continue  # empty list: m=0 lanes are never select()ed
         bi, lane = c._list_to_bucket[ln]
         ef = c._efs[bi]
         hw = np.asarray(ef.high.words)[lane]
         lw = np.asarray(ef.low_words)[lane]
-        high[ln, : len(hw)] = hw
-        low[ln, : len(lw)] = lw
-        nbits[ln] = int(np.asarray(ef.high.nbits)[lane])
-        l[ln] = int(np.asarray(ef.l)[lane])
-        m[ln] = int(np.asarray(ef.m)[lane])
+        r = ln - lo
+        high[r, : len(hw)] = hw
+        low[r, : len(lw)] = lw
+        nbits[r] = int(np.asarray(ef.high.nbits)[lane])
+        l[r] = int(np.asarray(ef.l)[lane])
+        m[r] = int(np.asarray(ef.m)[lane])
+    # select directory built over LOCAL rows (process-local compute); its
+    # width is a pure function of HW, identical on every process
     bvb = build_bitvector_batch(jnp.asarray(high), jnp.asarray(nbits))
-    row = NamedSharding(mesh, P("lists"))
-    mat = NamedSharding(mesh, P("lists", None))
     return (
-        jax.device_put(bvb.words, mat),
-        jax.device_put(bvb.sb_prefix, mat),
-        jax.device_put(bvb.nbits, row),
-        jax.device_put(jnp.asarray(low), mat),
-        jax.device_put(jnp.asarray(l), row),
-        jax.device_put(jnp.asarray(m), row),
+        put(np.asarray(bvb.words), P("lists", None)),
+        put(np.asarray(bvb.sb_prefix), P("lists", None)),
+        put(np.asarray(bvb.nbits), P("lists")),
+        put(low, P("lists", None)),
+        put(l, P("lists")),
+        put(m, P("lists")),
     )
 
 
-def _roc_states_in_list_order(c: RocInvertedLists, nlist_pad: int):
-    """Flatten a RocInvertedLists' bucketized states into one global-list-
-    order RocStates batch (stacks padded to the max bucket capacity)."""
+def _roc_states_in_list_order(c: RocInvertedLists, lo: int, hi: int):
+    """Flatten a RocInvertedLists' bucketized states into global-list-order
+    RocStates rows [lo, hi) (stacks padded to the max bucket capacity —
+    a global maximum, so every process pads identically)."""
     cap = max(int(np.asarray(st.stack).shape[1]) for st in c._states)
-    head = np.full(nlist_pad, rd.RANS_L, np.uint64)
-    stack = np.zeros((nlist_pad, cap), np.uint32)
-    stack_len = np.zeros(nlist_pad, np.int32)
-    mt_ctr = np.zeros(nlist_pad, np.int32)
-    prec = np.ones(nlist_pad, np.int32)
+    R = hi - lo
+    head = np.full(R, rd.RANS_L, np.uint64)
+    stack = np.zeros((R, cap), np.uint32)
+    stack_len = np.zeros(R, np.int32)
+    mt_ctr = np.zeros(R, np.int32)
+    prec = np.ones(R, np.int32)
     for bi, bucket in enumerate(c._buckets):
         st = jax.tree_util.tree_map(np.asarray, c._states[bi])
         pr = np.asarray(c._precisions[bi])
         for lane, ln in enumerate(bucket.list_ids):
             ln = int(ln)
-            head[ln] = st.head[lane]
+            if not (lo <= ln < hi):
+                continue
+            r = ln - lo
+            head[r] = st.head[lane]
             w = st.stack.shape[1]
-            stack[ln, :w] = st.stack[lane]
-            stack_len[ln] = st.stack_len[lane]
-            mt_ctr[ln] = st.mt_ctr[lane]
-            prec[ln] = pr[lane]
+            stack[r, :w] = st.stack[lane]
+            stack_len[r] = st.stack_len[lane]
+            mt_ctr[r] = st.mt_ctr[lane]
+            prec[r] = pr[lane]
     states = rd.RocStates(
-        head=jnp.asarray(head), stack=jnp.asarray(stack),
-        stack_len=jnp.asarray(stack_len), mt_ctr=jnp.asarray(mt_ctr),
-        err=jnp.zeros(nlist_pad, bool),
+        head=head, stack=stack, stack_len=stack_len, mt_ctr=mt_ctr,
+        err=np.zeros(R, bool),
     )
     return states, prec
