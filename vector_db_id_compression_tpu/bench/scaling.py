@@ -161,6 +161,70 @@ def run(lists_per_device: int, ids_per_list: int, seed: int, runs: int,
     return rows
 
 
+def run_search(lists_per_device: int, ids_per_list: int, d: int, nq: int,
+               k: int, nprobe: int, seed: int, runs: int, device_counts,
+               method: str = "roc"):
+    """Weak-scale the SHARDED SEARCH program (parallel.search.ShardedIVF):
+    the database grows N× with the mesh (lists_per_device lists per shard,
+    so per-device coarse matmul and per-device translate lanes are
+    invariant by construction), queries stay fixed — ideal weak scaling
+    keeps query latency ~flat while capacity grows N×. Also asserts the
+    §2.4 device-count-invariance contract at every scale: the N-device
+    mesh returns the same (D, I) as a 1-device mesh over the SAME
+    N-scale database."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (device warmup)
+    from jax.sharding import Mesh
+
+    from ..parallel.search import ShardedIVF
+    from ..search.ivf import IndexIVF
+    from ..store.invlists import AVAILABLE_COMPRESSED_IVFS
+
+    n_dev = len(jax.devices())
+    device_counts = [n for n in device_counts if n <= n_dev]
+    rng = np.random.default_rng(seed)
+    rows = []
+    base_t = {}
+    for N in device_counts:
+        nlist = lists_per_device * N
+        nb = nlist * ids_per_list
+        xb = rng.standard_normal((nb, d)).astype(np.float32)
+        xq = rng.standard_normal((nq, d)).astype(np.float32)
+        index = IndexIVF(d, nlist)
+        index.train(xb[: min(nb, 20 * nlist)], niter=2)
+        index.add(xb)
+        cont = (index.invlists if method == "ref"
+                else AVAILABLE_COMPRESSED_IVFS[method](index.invlists))
+        if method != "ref":
+            index.replace_invlists(cont)
+        mesh = Mesh(np.array(jax.devices()[:N]), axis_names=("lists",))
+        sh = ShardedIVF(mesh, index, cont)
+
+        def q():
+            return sh.search(xq, k, nprobe)
+
+        t = _time(lambda: q()[1], runs)
+        D, I = q()
+        # device-count invariance on the same database
+        mesh1 = Mesh(np.array(jax.devices()[:1]), axis_names=("lists",))
+        D1, I1 = ShardedIVF(mesh1, index, cont).search(xq, k, nprobe)
+        np.testing.assert_array_equal(I, I1)
+        np.testing.assert_allclose(D, D1, rtol=1e-5, atol=1e-5)
+
+        row = {"n_devices": N, "nlist": nlist, "ntotal": nb,
+               "search_s": round(t, 4),
+               "qps": round(nq / t, 1)}
+        if not base_t:
+            base_t = dict(row)
+        row["eff_vs"] = base_t["n_devices"]
+        row["search_eff"] = round(base_t["search_s"] / row["search_s"], 3)
+        rows.append(row)
+        log(f"N={N}: ntotal={nb:7d}  search {t*1e3:7.1f} ms "
+            f"({row['qps']:8.1f} q/s, eff {row['search_eff']:.2f}) "
+            f"[N-dev == 1-dev checked]")
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--lists-per-device", type=int, default=256)
@@ -168,7 +232,34 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--search", action="store_true",
+                   help="weak-scale the sharded search program instead of "
+                        "the codec (smaller defaults: see --search-*)")
+    p.add_argument("--search-method", default="roc")
+    p.add_argument("--search-d", type=int, default=16)
+    p.add_argument("--search-nq", type=int, default=64)
+    p.add_argument("--search-k", type=int, default=10)
+    p.add_argument("--search-nprobe", type=int, default=8)
     args = p.parse_args(argv)
+
+    if args.search:
+        rows = run_search(
+            min(args.lists_per_device, 64), min(args.ids_per_list, 200),
+            args.search_d, args.search_nq, args.search_k,
+            args.search_nprobe, args.seed, args.runs, args.devices,
+            method=args.search_method)
+        print(json.dumps({
+            "platform": os.environ.get("JAX_PLATFORMS", "default"),
+            "host_cores": os.cpu_count(),
+            "mode": "weak_scaling_search",
+            "method": args.search_method,
+            "note": ("database grows Nx with the mesh; ideal weak scaling "
+                     "keeps latency flat. Virtual CPU devices share one "
+                     "host's cores — efficiencies are a lower bound on "
+                     "separate-chip hardware."),
+            "rows": rows,
+        }), flush=True)
+        return
 
     rows = run(args.lists_per_device, args.ids_per_list, args.seed,
                args.runs, args.devices)

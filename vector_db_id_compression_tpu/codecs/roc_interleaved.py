@@ -104,27 +104,16 @@ def interleaved_encode(
     sorted_ids = ids[sort_perm]
     sizes, bounds, lo, prec, rebased = chunk_plan(sorted_ids, S)
 
+    # the S rebased chunks go through the SAME ragged front door as the
+    # containers (native C++ / Pallas / XLA scan — codecs/roc_device.py
+    # encode_ragged), so the standalone codec and
+    # InterleavedRocInvertedLists can never drift in stream format
     n_max = int(sizes.max())
-    lanes = np.zeros((S, n_max), dtype=np.uint64)
-    for s in range(S):
-        lanes[s, : len(rebased[s])] = rebased[s]
-
     cap = rd.stack_capacity(n_max, int(prec.max()))
-    pool = rd.default_pool(n_max)
-    states, order = rd.roc_encode_batch(
-        jnp.asarray(lanes),
-        jnp.asarray(sizes.astype(np.int32)),
-        jnp.asarray(prec),
-        pool,
-        rd.fresh_states(S, cap),
-        rd.n_slices_for(int(prec.max())),
-    )
-    if bool(np.asarray(states.err).any()):
-        raise RuntimeError("stack overflow / MT pool exhausted in encode")
-    order_np = np.asarray(order)
+    states, orders = rd.encode_ragged(rebased, prec, n_max, cap)
     # lane-local sampling order (over the sorted chunk) → original index
     global_order = np.concatenate([
-        sort_perm[bounds[s] + order_np[s, : int(sizes[s])]] for s in range(S)
+        sort_perm[bounds[s] + orders[s]] for s in range(S)
     ])
     env = InterleavedRoc(states, sizes.astype(np.int32), lo, prec)
     return env, global_order

@@ -384,6 +384,9 @@ class ShardedIVF:
         pair_scan = self._pair_scan(nprobe)
         P_cap = nq * nprobe
         budget = int(os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
+        # profiling hook: skip the translate stage and return positional
+        # labels (list_no<<32|offset) as I — isolates coarse+scan+merge cost
+        ablate_translate = os.environ.get("VDBIDC_ABLATE_TRANSLATE") == "1"
 
         def lut_from(xq, pq_c):
             """Replicated per-query ADC LUTs f32[nq, M, ksub] (complete
@@ -543,6 +546,10 @@ class ShardedIVF:
             L = jnp.take_along_axis(g_l, order, axis=1)       # [nq, k]
 
             # ---- translate: each shard resolves the labels it owns -------
+            if ablate_translate:  # profiling hook: positional labels as I
+                if scan_float:
+                    D = D + jnp.sum(xq * xq, axis=1, keepdims=True)
+                return jnp.where(L >= 0, D, jnp.inf), L
             lns = L >> 32
             offs = (L & _OFF_MASK).astype(jnp.int32)
             lloc = lns - base
