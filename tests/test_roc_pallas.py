@@ -50,3 +50,27 @@ def test_pallas_decode_bit_exact(sizes, bits):
     )
     assert ok
     np.testing.assert_array_equal(got, ref_ids)
+
+
+def test_pallas_decode_emit_rev_matches():
+    """emit_rev=True returns each lane reversed (row length-1-j holds
+    element j) — the layout the fused translate stage gathers from."""
+    from vector_db_id_compression_tpu.ops.roc_pallas import RocPallasDecoder
+    from vector_db_id_compression_tpu.ops import roc_pallas as rp
+
+    rng = np.random.default_rng(7)
+    sizes, bits = [700, 3, 513, 64], 20
+    ids, lengths, prec, states, pool, n_max, maxp = _encode_batch(
+        rng, sizes, bits)
+    dec = RocPallasDecoder(states, lengths, prec, pool, n_max)
+    fwd, ok = dec.decode(interpret=True)
+    assert ok
+    rev, err = rp._run_decode(
+        dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens, dec._prec_row,
+        dec._n_max_pad, dec._capp, True, dec._pool_ok, True)
+    assert not bool(err)
+    rev = np.asarray(rev)[: len(sizes)]
+    fwd = np.asarray(fwd)
+    for b, n in enumerate(sizes):
+        np.testing.assert_array_equal(rev[b, :n][::-1], fwd[b, :n])
+        assert (rev[b, n:] == 0).all()

@@ -103,6 +103,10 @@ def main():
     pallas = getattr(sh_roc, "_pallas", None)
     print(f"mode={sh_roc._mode} pallas={'ENGAGED ' + str(pallas[1]) if pallas else 'OFF (XLA chain)'}",
           flush=True)
+    D_ref, I_ref = sh_ref.search(xq, K, 16)
+    D_roc, I_roc = sh_roc.search(xq, K, 16)
+    np.testing.assert_array_equal(I_roc, I_ref)
+    print("  roc fused I == ref fused I  (translate correct)", flush=True)
     for nprobe in (4, 16):
         one, sus = sustained(sh_roc, xq, K, nprobe)
         print(f"  nprobe={nprobe:3d} one={one*1e3:8.1f}ms "
@@ -121,18 +125,18 @@ def main():
         print("\n--- standalone all-lane Pallas decode ---", flush=True)
         from vector_db_id_compression_tpu.ops.roc_pallas import _run_decode
         arrs, (n_max_pad, capp) = pallas
-        buf, hi, lo, ptr0, lens, prec = arrs
+        buf, hi, lo, ptr0, lens, prec = arrs[:6]
         ids, _ = _run_decode(buf, hi, lo, ptr0, lens, prec, n_max_pad, capp,
-                             False, jnp.asarray(True))
+                             False, jnp.asarray(True), True)
         np.asarray(ids)  # warm
         t0 = time.time()
         ids, _ = _run_decode(buf, hi, lo, ptr0, lens, prec, n_max_pad, capp,
-                             False, jnp.asarray(True))
+                             False, jnp.asarray(True), True)
         np.asarray(ids)
         t1 = time.time() - t0
         t0 = time.time()
         outs = [_run_decode(buf, hi, lo, ptr0, lens, prec, n_max_pad, capp,
-                            False, jnp.asarray(True))[0] for _ in range(8)]
+                            False, jnp.asarray(True), True)[0] for _ in range(8)]
         np.asarray(outs[-1])
         tK = time.time() - t0
         print(f"  n_max_pad={n_max_pad} capp={capp} "

@@ -58,8 +58,9 @@ def _dec_lane_bytes(n_max: int, capp: int) -> int:
     lane_block=256): scoped allocation 16.23 MiB = 63.4 KiB/lane — in/out
     double-buffered PLUS the scratch copies, i.e. ~(3·capp + 3·n_max)
     words, not the (2·capp + 2·n_max) the old model assumed. Budget with
-    a margin above the observed coefficient."""
-    return (4 * capp + 3 * n_max + 64) * 4
+    a margin above the observed coefficient (the symbol scratch is padded
+    to a RANK_BLOCK multiple — _syms_rows)."""
+    return (4 * capp + 2 * n_max + _syms_rows(n_max) + 64) * 4
 POOL_ROWS = 32  # decode rarely draws initial bits; err flag + fallback if exceeded
 
 _I32_MIN = -2147483648  # python int: weak-typed, avoids device-const capture
@@ -78,8 +79,38 @@ def _sll(x, p):
     return jax.lax.shift_left(x, jnp.asarray(p, jnp.int32))
 
 
-def _decode_kernel(n_max: int, capp: int, n_slices: int):
-    """Returns the kernel fn for given static shapes."""
+RANK_BLOCK = 512  # rows per blocked-rank step (see _decode_kernel)
+
+
+def _syms_rows(n_max: int) -> int:
+    """Symbol-scratch rows: n_max padded to a RANK_BLOCK multiple so the
+    blocked rank pass's pl.ds windows never run off the buffer (Pallas
+    clamps out-of-bounds dynamic slices, which would misalign the rows)."""
+    rb = min(RANK_BLOCK, n_max)
+    return -(-n_max // rb) * rb
+
+
+def _decode_kernel(n_max: int, capp: int, n_slices: int,
+                   emit_rev: bool = False):
+    """Returns the kernel fn for given static shapes.
+
+    ``emit_rev=False``: emit each symbol at its final decode position
+    ``length-1-i`` (a masked full-buffer pass per step — right for
+    callers that consume the whole output, e.g. the standalone decoder,
+    where it replaces an expensive post-kernel un-reversal gather).
+    ``emit_rev=True``: emit at row ``i`` (one uniform-row write — O(1)
+    instead of O(n_max) traffic per step); the output holds decode-
+    iteration order, i.e. REVERSED sampling order, and callers that
+    random-access element ``j`` of a lane read row ``length-1-j``. Right
+    for in-program translate stages that gather only a few elements.
+
+    Two more traffic bounds (both orders):
+      - the step loop bound is ``max(lengths in this grid block)``, not
+        n_max — lanes sorted/bucketed by length make blocks stop early;
+      - the rank pass reads only ceil(i/RANK_BLOCK) row blocks of the
+        symbol scratch (previous insertions live in rows < i), turning
+        the O(n_max) compare into O(i).
+    """
 
     def kernel(buf_in, hi_in, lo_in, ptr_in, len_in, prec_in,
                emit_out, hi_out, lo_out, ptr_out, err_out,
@@ -87,6 +118,8 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
         B = hi_in.shape[1]
         rows_buf = jax.lax.broadcasted_iota(jnp.int32, (capp, B), 0)
         rows_sym = jax.lax.broadcasted_iota(jnp.int32, (n_max, B), 0)
+        RB = min(RANK_BLOCK, n_max)
+        rows_rb = jax.lax.broadcasted_iota(jnp.int32, (RB, B), 0)
         buf_s[:] = buf_in[:]
         lengths = len_in[:]
         prec = prec_in[:]
@@ -124,9 +157,17 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
                 lo = jnp.where(active, lo2, lo)
                 symbol = jnp.where(active, _sll(symbol, 16) | cfs, symbol)
 
-            # ---- insert + rank (count strictly smaller already inserted) --
-            smaller = (rows_sym < i) & _ult(syms_s[:], symbol)
-            rank = jnp.sum(smaller, axis=0, keepdims=True, dtype=jnp.int32)
+            # ---- insert + rank (count strictly smaller already inserted;
+            # blocked: previous insertions live only in rows < i) ----------
+            def rank_blk(b, acc):
+                blk = syms_s[pl.ds(b * RB, RB), :]
+                sm = ((rows_rb + b * RB) < i) & _ult(blk, symbol)
+                return acc + jnp.sum(sm, axis=0, keepdims=True,
+                                     dtype=jnp.int32)
+
+            rank = jax.lax.fori_loop(
+                jnp.int32(0), (i + RB - 1) // RB, rank_blk,
+                jnp.zeros_like(lo))
             syms_s[pl.ds(i, 1), :] = symbol
 
             # ---- push_with_finer_precision(rank, i+1) (codec.cpp:44-63) --
@@ -156,12 +197,20 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
             hi = jnp.where(active, jnp.where(refill2, lo_r, new_hi), hi)
             lo = jnp.where(active, jnp.where(refill2, w2, lo_r), lo)
 
-            # emit straight at the final decode position n-1-i (per-lane row,
-            # so a masked full-buffer write — on-chip VMEM passes are cheap;
-            # this removes the expensive post-kernel un-reversal gather)
-            emit_out[:] = jnp.where(
-                (rows_sym == (lengths - 1 - i)) & active, symbol, emit_out[:]
-            )
+            if emit_rev:
+                # decode-iteration order: one uniform-row write (callers
+                # random-access element j of a lane at row length-1-j)
+                emit_out[pl.ds(i, 1), :] = jnp.where(active, symbol,
+                                                     jnp.int32(0))
+            else:
+                # emit straight at the final decode position n-1-i (per-lane
+                # row, so a masked full-buffer write — right when the whole
+                # output is consumed: it replaces the expensive post-kernel
+                # un-reversal gather)
+                emit_out[:] = jnp.where(
+                    (rows_sym == (lengths - 1 - i)) & active, symbol,
+                    emit_out[:]
+                )
             return hi, lo, ptr, err
 
         hi0 = hi_in[:]
@@ -170,9 +219,12 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int):
         err0 = jnp.zeros(ptr0.shape, dtype=jnp.int32)
         emit_out[:] = jnp.zeros((n_max, B), jnp.int32)
         # i32 bounds keep the loop index i32 even under x64 mode (Mosaic's
-        # 64-bit conversion lowering is pathological)
+        # 64-bit conversion lowering is pathological). The bound is this
+        # grid block's max length — lanes sorted/bucketed by length make
+        # most blocks stop far before n_max.
+        n_steps = jnp.minimum(jnp.max(lengths), jnp.int32(n_max))
         hi, lo, ptr, err = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_max), body, (hi0, lo0, ptr0, err0)
+            jnp.int32(0), n_steps, body, (hi0, lo0, ptr0, err0)
         )
         hi_out[:] = hi
         lo_out[:] = lo
@@ -188,13 +240,13 @@ def _pad_to(x: np.ndarray, axis: int, size: int, fill=0):
     return np.pad(x, pad, constant_values=fill)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 9, 10))
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 10, 11))
 def _decode_call(buf, hi, lo, ptr, n_max, capp, n_slices,
                  lengths, precision, interpret=False,
-                 lane_block=LANE_BLOCK):
+                 lane_block=LANE_BLOCK, emit_rev=False):
     B = buf.shape[1]
     grid = B // lane_block
-    kernel = _decode_kernel(n_max, capp, n_slices)
+    kernel = _decode_kernel(n_max, capp, n_slices, emit_rev)
     # note: the row index must match the loop-index dtype (i32) — a python 0
     # literal becomes i64 under x64 mode and Mosaic rejects the mixed return
     specs_col = lambda shape0: pl.BlockSpec(
@@ -220,7 +272,7 @@ def _decode_call(buf, hi, lo, ptr, n_max, capp, n_slices,
         ],
         scratch_shapes=[
             pltpu.VMEM((capp, lane_block), jnp.int32),
-            pltpu.VMEM((n_max, lane_block), jnp.int32),
+            pltpu.VMEM((_syms_rows(n_max), lane_block), jnp.int32),
         ],
         interpret=interpret,
     )(buf, hi, lo, ptr, lengths, precision)
@@ -256,12 +308,14 @@ def _prepare_inputs(stack, stack_len, mt_ctr, head, lengths, precision,
     return buf, hi, lo, ptr0, lens, prec, pool_ok
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8, 10))
 def _run_decode(buf, hi, lo, ptr0, lens, prec, n_max, capp, interpret,
-                pool_ok):
+                pool_ok, emit_rev=False):
     """Slim per-call path: kernel + validity mask. Returns ids as u32 — the
     kernel supports precision <= 32, so ids always fit (halves the
-    device-to-host bytes on the axon tunnel)."""
+    device-to-host bytes on the axon tunnel). With ``emit_rev`` the row
+    order of each lane is decode-iteration order (element j of a lane
+    lives at row length-1-j) — see _decode_kernel."""
     B = buf.shape[1]
     # widest lane block that divides B AND fits the scoped-VMEM budget
     # (in buf [capp] + out emit [n_max], double-buffered, + scratch rows)
@@ -278,7 +332,8 @@ def _run_decode(buf, hi, lo, ptr0, lens, prec, n_max, capp, interpret,
             f"bucket (n_max={n_max}, capp={capp}) exceeds the Pallas decode "
             "VMEM envelope at the smallest lane block")
     emit, hi_f, lo_f, ptr_f, err = _decode_call(
-        buf, hi, lo, ptr0, n_max, capp, 2, lens, prec, interpret, lane_block
+        buf, hi, lo, ptr0, n_max, capp, 2, lens, prec, interpret, lane_block,
+        emit_rev
     )
     emit_u = jax.lax.bitcast_convert_type(emit.T, jnp.uint32)
     j = jnp.arange(n_max, dtype=jnp.int32)[None, :]

@@ -272,6 +272,13 @@ class ShardedIVF:
         mesh-sharded kernel inputs, or None when out of envelope (non-TPU
         mesh, lane count not LANE_BLOCK-divisible, precision > 32, VMEM).
 
+        Lanes are sorted by length (descending) WITHIN each shard's block
+        before the decoder is built: the kernel's step loop runs to each
+        grid block's max length, so sorting turns the global-max padding
+        (the k-means head list can be several times the mean) into
+        per-block bounds that track the real length distribution. The
+        program maps original local lanes through the inverse permutation.
+
         The ok-flag is validated HERE with one full decode: per-lane decode
         is deterministic and the fused program always decodes every local
         lane, so a clean ctor-time decode guarantees the in-program err flag
@@ -287,9 +294,20 @@ class ShardedIVF:
                 or self.b_loc % 256 != 0
                 or not rp.RocPallasDecoder.supports(maxp, self.n_pad)):
             return None
+        B_loc = self.b_loc
+        lengths = np.asarray(lengths)
+        order = np.concatenate([
+            s * B_loc + np.argsort(-lengths[s * B_loc:(s + 1) * B_loc],
+                                   kind="stable")
+            for s in range(self.n_shards)])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        inv_loc = (inv % B_loc).astype(np.int32)  # local sorted position
+        st_p = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[order]), st)
         try:
             dec = rp.RocPallasDecoder(
-                jax.tree_util.tree_map(jnp.asarray, st), lengths, prec,
+                st_p, lengths[order], np.asarray(prec)[order],
                 rd.default_pool(self.n_pad), self.n_pad)
         except ValueError:  # VMEM envelope
             return None
@@ -297,10 +315,11 @@ class ShardedIVF:
         if not ok:
             return None
         col = NamedSharding(self.mesh, P(None, "lists"))
+        row = NamedSharding(self.mesh, P("lists"))
         arrs = tuple(
             jax.device_put(a, col)
             for a in (dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens,
-                      dec._prec_row))
+                      dec._prec_row)) + (jax.device_put(inv_loc, row),)
         return arrs, (dec._n_max_pad, dec._capp)
 
     # ------------------------------------------------------------------ API
@@ -558,14 +577,21 @@ class ShardedIVF:
             if mode == "roc_pl":
                 # single-kernel Pallas decode of EVERY local lane (cheaper
                 # at scale than any touched-lane bookkeeping: ~ms for 1M
-                # ids); ok-flag pre-validated at ctor, so err is discarded
+                # ids); ok-flag pre-validated at ctor, so err is discarded.
+                # Lanes ride length-sorted (per-block loop bounds) and the
+                # kernel emits in decode-iteration order (emit_rev: one
+                # uniform-row write per step instead of a masked full-buffer
+                # pass) — element j of a lane lives at row length-1-j.
                 from ..ops.roc_pallas import _run_decode
 
-                buf_l, hi_l, lo_l, ptr_l, lens_l, prec_l = trans
+                buf_l, hi_l, lo_l, ptr_l, lens_l, prec_l, inv_l = trans
                 ids_all, _ = _run_decode(buf_l, hi_l, lo_l, ptr_l, lens_l,
                                          prec_l, pl_nmax, pl_capp, False,
-                                         jnp.asarray(True))
-                vals = ids_all[lane, jnp.minimum(offs, pl_nmax - 1)]
+                                         jnp.asarray(True), True)
+                slane = inv_l[lane]
+                ln_len = lens_l[0, slane]
+                pos = jnp.clip(ln_len - 1 - offs, 0, pl_nmax - 1)
+                vals = ids_all[slane, pos]
                 found = mine
             elif mode in ("roc", "raw"):
                 # grouped: gather the touched lanes into a static T_cap
@@ -638,7 +664,7 @@ class ShardedIVF:
             return D, I
 
         if mode == "roc_pl":
-            trans_specs = (P(None, "lists"),) * 6
+            trans_specs = (P(None, "lists"),) * 6 + (P("lists"),)
             trans_args = self._pallas[0]
         elif mode == "roc":
             trans_specs = (rd.RocStates(*(P("lists"),) * 5), P("lists"))
