@@ -74,3 +74,53 @@ def test_pallas_decode_emit_rev_matches():
     for b, n in enumerate(sizes):
         np.testing.assert_array_equal(rev[b, :n][::-1], fwd[b, :n])
         assert (rev[b, n:] == 0).all()
+
+
+def test_pallas_chained_decode_bit_exact():
+    """RocChainedPallasDecoder matches the XLA chained decoder on the
+    RocBlockGraph format (S multisets threaded through one state)."""
+    from vector_db_id_compression_tpu.ops.roc_pallas import (
+        RocChainedPallasDecoder,
+    )
+
+    rng = np.random.default_rng(11)
+    L, S, K, bits = 5, 4, 16, 18
+    ids = np.zeros((L, S, K), dtype=np.uint64)
+    degs = np.zeros((L, S), dtype=np.int32)
+    prec = np.ones((L, S), dtype=np.int32)
+    for b in range(L):
+        for s in range(S):
+            n = int(rng.integers(0, K + 1))
+            degs[b, s] = n
+            if n == 0:
+                continue
+            v = np.sort(rng.choice(2**bits - 1, size=n,
+                                   replace=False).astype(np.uint64) + 1)
+            ids[b, s, :n] = v
+            prec[b, s] = precision_for_max_id_safe(int(v.max()))
+    maxp = int(prec.max())
+    n_sl = rd.n_slices_for(maxp)
+    cap = rd.stack_capacity(S * K, maxp)
+    pool = rd.default_pool(S * K)
+    states = rd.roc_encode_chained(
+        jnp.asarray(ids), jnp.asarray(degs), jnp.asarray(prec), pool,
+        rd.fresh_states(L, cap), n_sl)
+    assert not bool(np.asarray(states.err).any())
+
+    ref, _ = rd.roc_decode_chained(
+        states, jnp.asarray(degs), jnp.asarray(prec), pool, K, n_sl)
+    ref = np.asarray(ref)
+
+    dec = RocChainedPallasDecoder(states, degs, prec, pool, K)
+    got, ok = dec.decode(interpret=True)
+    assert ok
+    np.testing.assert_array_equal(np.asarray(got).astype(np.uint64), ref)
+
+    # traced subset entry (the in-traversal fetch path)
+    import jax
+
+    idx = np.array([3, 3, 0, 4] + [0] * 124, dtype=np.int32)  # pad to 128
+    sub = jax.jit(lambda i: dec.decode_lanes_traced(i, interpret=True))(
+        jnp.asarray(idx))
+    np.testing.assert_array_equal(
+        np.asarray(sub)[:4].astype(np.uint64), ref[idx[:4]])

@@ -85,12 +85,56 @@ def ef_provider(g):
     return tree, fetch, K
 
 
+def _graph_pallas_enabled() -> bool:
+    import os
+
+    return (os.environ.get("VDBIDC_GRAPH_PALLAS", "1") == "1"
+            and jax.devices()[0].platform == "tpu")
+
+
 def roc_provider(g):
     """RocGraph: full ANS decode of each visited node's neighbor set, inside
-    the traversal loop (the reference's decode-in-get_neighbors hot path)."""
+    the traversal loop (the reference's decode-in-get_neighbors hot path).
+
+    On TPU the fetch runs the single-kernel Pallas decoder over the
+    gathered frontier lanes (~VPU-cycle steps) instead of the XLA scan
+    chain (~25us/step — the round-2 graph-search bottleneck); the decoder's
+    composed lane buffers ride the provider tree as ARGUMENTS (a closure
+    constant would bake them into the program). Falls back to the XLA
+    chain off-TPU / out of envelope (VDBIDC_GRAPH_PALLAS=0 forces it)."""
+    K = g.K
+    if _graph_pallas_enabled():
+        from ..ops import roc_pallas as rp
+
+        prec = np.asarray(g.id_symbol_precision, np.int32)
+        if rp.RocPallasDecoder.supports(int(prec.max(initial=1)), K):
+            try:
+                dec = rp.RocPallasDecoder(
+                    g._states, g.degrees, prec, rd.default_pool(K), K)
+            except ValueError:
+                dec = None
+            if dec is not None and dec.decode()[1]:
+                tree = (dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens,
+                        dec._prec_row, jnp.asarray(g.degrees))
+                n_max_pad, capp = dec._n_max_pad, dec._capp
+
+                def fetch_pl(tree, nodes):
+                    buf, hi, lo, ptr0, lens, prec_row, deg = tree
+                    Q = nodes.shape[0]
+                    Qp = -(-Q // 128) * 128
+                    idx = (jnp.pad(nodes, (0, Qp - Q)) if Qp > Q
+                           else nodes).astype(jnp.int32)
+                    ids, _ = rp._run_decode(
+                        buf[:, idx], hi[:, idx], lo[:, idx], ptr0[:, idx],
+                        lens[:, idx], prec_row[:, idx], n_max_pad, capp,
+                        False, jnp.asarray(True))
+                    return ids[:Q, :K].astype(jnp.int32), deg[nodes]
+
+                return tree, fetch_pl, K
+
     tree = (g._states, g._prec_dev, jnp.asarray(g.degrees),
-            rd.default_pool(g.K))
-    K, n_slices = g.K, g._n_slices
+            rd.default_pool(K))
+    n_slices = g._n_slices
 
     def fetch(tree, nodes):
         states, prec, deg, pool = tree
@@ -105,10 +149,47 @@ def roc_provider(g):
 def roc_block_provider(g):
     """RocBlockGraph: chained ANS decode of each visited node's whole block,
     then select the node's slot. block x the decode work of roc_provider in
-    exchange for the amortized head (the container's rate/access trade)."""
+    exchange for the amortized head (the container's rate/access trade).
+
+    On TPU the whole chain runs in one Pallas kernel per fetch
+    (RocChainedPallasDecoder) — block*K steps at VPU-cycle cost, which
+    collapses the round-2 4-6x roc-block search penalty (each XLA scan
+    step cost ~25us regardless of size). XLA-chain fallback otherwise."""
+    K, Bn = g.K, g.block
+    if _graph_pallas_enabled():
+        from ..ops import roc_pallas as rp
+
+        prec_np = np.asarray(g._prec, np.int32)
+        if rp.RocPallasDecoder.supports(int(prec_np.max(initial=1)), K):
+            try:
+                dec = rp.RocChainedPallasDecoder(
+                    g._states, np.asarray(g._degs), prec_np,
+                    rd.default_pool(Bn * K), K)
+            except ValueError:
+                dec = None
+            if dec is not None and dec.decode()[1]:
+                tree = (dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens,
+                        dec._prec, jnp.asarray(g.degrees))
+                n_max_pad, capp, S = dec._n_max_pad, dec._capp, dec.S
+
+                def fetch_pl(tree, nodes):
+                    buf, hi, lo, ptr0, lens, prec, deg_flat = tree
+                    Q = nodes.shape[0]
+                    blk = (nodes // Bn).astype(jnp.int32)
+                    Qp = -(-Q // 128) * 128
+                    idx = jnp.pad(blk, (0, Qp - Q)) if Qp > Q else blk
+                    ids, _ = rp._run_decode_chained(
+                        buf[:, idx], hi[:, idx], lo[:, idx], ptr0[:, idx],
+                        lens[:, idx], prec[:, idx], n_max_pad, capp, S,
+                        False, jnp.asarray(True))
+                    rows = ids[jnp.arange(Q), nodes % Bn, :K]
+                    return rows.astype(jnp.int32), deg_flat[nodes]
+
+                return tree, fetch_pl, K
+
     tree = (g._states, g._prec, g._degs, jnp.asarray(g.degrees),
-            rd.default_pool(g.block * g.K))
-    K, Bn, n_slices = g.K, g.block, g._n_slices
+            rd.default_pool(Bn * K))
+    n_slices = g._n_slices
 
     def fetch(tree, nodes):
         states, prec, degs, deg_flat, pool = tree
