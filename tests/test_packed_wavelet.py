@@ -91,3 +91,42 @@ def test_wavelet_tree_ivf_shape():
         offs = jnp.arange(len(members), dtype=jnp.int32)
         got = np.asarray(wt_select(wt, jnp.full(len(members), list_no), offs))
         np.testing.assert_array_equal(got, members)
+
+
+def test_wt_path_tables_match_generic():
+    """The precomputed-path select (wt_path_tables) must equal the two-sweep
+    walk for every (symbol, occurrence), incl. 2-D query batches, empty
+    symbols, and RRR-compressed planes."""
+    from vector_db_id_compression_tpu.codecs.rrr import rrr_encode_planes
+    from vector_db_id_compression_tpu.codecs.wavelet_tree import (
+        wt_levels,
+        wt_path_tables,
+        wt_planes,
+        wt_select_rrr,
+    )
+
+    rng = np.random.default_rng(7)
+    for sigma, n in [(5, 6), (8, 100), (37, 500), (64, 2000)]:
+        # leave some symbols empty
+        active = rng.choice(sigma, size=max(sigma // 2, 1), replace=False)
+        symbols = rng.choice(active, size=n).astype(np.uint32)
+        counts = np.bincount(symbols, minlength=sigma)
+        L = wt_levels(sigma)
+        wt = build_wavelet_tree(symbols, sigma)
+        tab = jnp.asarray(wt_path_tables(counts, L))
+        qs, qo = [], []
+        for s in range(sigma):
+            for j in range(counts[s]):
+                qs.append(s), qo.append(j)
+        qs, qo = jnp.asarray(np.array(qs)), jnp.asarray(np.array(qo))
+        a = np.asarray(wt_select(wt, qs, qo))
+        b = np.asarray(wt_select(wt, qs, qo, tables=tab))
+        np.testing.assert_array_equal(a, b)
+        # 2-D query shape (the container's decode_lists path)
+        q2s, q2o = qs.reshape(-1, 1), qo.reshape(-1, 1)
+        b2 = np.asarray(wt_select(wt, q2s, q2o, tables=tab))
+        np.testing.assert_array_equal(a, b2[:, 0])
+        # RRR planes share the same tables (select-only walk)
+        rrr = rrr_encode_planes(wt_planes(symbols, sigma))
+        c = np.asarray(wt_select_rrr(rrr, qs, qo, tables=tab))
+        np.testing.assert_array_equal(a, c)

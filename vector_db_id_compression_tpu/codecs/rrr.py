@@ -149,9 +149,13 @@ _OFF_BITS_dev = jnp.asarray(OFF_BITS)    # i32[64]
 
 
 def _class_window(rrr: RRRPlanes, level: int, sb: jax.Array) -> jax.Array:
-    """Gather each query's superblock of classes → i32[Q, SB_BLOCKS]."""
-    idx = sb[..., None] * SB_BLOCKS + jnp.arange(SB_BLOCKS, dtype=jnp.int64)
-    return rrr.classes[level, idx]
+    """Gather each query's superblock of classes → i32[Q, SB_BLOCKS].
+
+    Fetched as ROWS of the [L*NSB, SB_BLOCKS] view (fast major-dim row
+    gather) instead of a minor-dim element gather from i32[L, NB]."""
+    NSB = rrr.classes.shape[1] // SB_BLOCKS
+    rows = rrr.classes.reshape(rrr.classes.shape[0] * NSB, SB_BLOCKS)
+    return rows[level * NSB + sb]
 
 
 def _block_start_and_rank(rrr: RRRPlanes, level: int, blk: jax.Array):

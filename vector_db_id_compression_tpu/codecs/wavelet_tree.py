@@ -106,9 +106,14 @@ def build_wavelet_tree(symbols: np.ndarray, sigma: int) -> WaveletTree:
 
 
 def _window(wt: WaveletTree, level: int, sb: jax.Array) -> jax.Array:
-    """Gather each query's superblock window → u32[Q, SB_WORDS]."""
-    widx = sb[..., None] * SB_WORDS + jnp.arange(SB_WORDS, dtype=jnp.int64)
-    return wt.words[level, widx]
+    """Gather each query's superblock window → u32[Q, SB_WORDS].
+
+    Fetched as ROWS of the [L*SB, SB_WORDS] view: a major-dim gather of
+    contiguous 128-byte rows is the fast TPU gather path, where the
+    equivalent minor-dim element gather from u32[L, W] serializes."""
+    SB = wt.words.shape[1] // SB_WORDS
+    rows = wt.words.reshape(wt.words.shape[0] * SB, SB_WORDS)
+    return rows[level * SB + sb]
 
 
 def _rank1(wt: WaveletTree, level: int, pos: jax.Array) -> jax.Array:
@@ -179,6 +184,71 @@ def _select0(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def wt_path_tables(symbol_counts: np.ndarray, L: int) -> np.ndarray:
+    """Static per-symbol walk tables i64[2^L, L, 3].
+
+    The top-down sweep of the select walk (node interval + rank at the node
+    start along the symbol's bit path) depends only on the SYMBOL, never on
+    the query offset — and node boundaries in a levelwise tree are prefix
+    histograms of the symbol distribution. For the IVF wavelet tree that
+    histogram is exactly the list-length array, so the whole sweep
+    precomputes from metadata the container already holds (no format
+    change, nothing new to serialize).
+
+    Entry [s, l] = (r0_lo, r1_lo, child_lo) for the level-l node on s's
+    path: rank0/rank1 of plane l at the node start, and the start of the
+    child node the path descends into. child_lo at the last level is the
+    leaf (= first global position index of symbol s's occurrences block).
+    """
+    counts = np.asarray(symbol_counts, dtype=np.int64)
+    sigma_pad = 1 << L
+    if len(counts) > sigma_pad:
+        raise ValueError(f"{len(counts)} symbols exceed 2^{L}")
+    hist = np.zeros(sigma_pad, np.int64)
+    hist[: len(counts)] = counts
+    # hists[w][p] = #symbols whose width-w prefix == p
+    hists = [None] * (L + 1)
+    hists[L] = hist
+    for w in range(L - 1, -1, -1):
+        hists[w] = hists[w + 1].reshape(-1, 2).sum(axis=1)
+
+    out = np.zeros((sigma_pad, L, 3), np.int64)
+    sym = np.arange(sigma_pad, dtype=np.int64)
+    for l in range(L):
+        p = sym >> (L - l)                      # level-l node = width-l prefix
+        # ones of plane l inside node q = #symbols with prefix q and next
+        # bit 1 = hists[l+1][2q+1]; node starts tile the level in prefix
+        # order, so rank at a node start is a cumsum over earlier nodes
+        c_lo = np.concatenate(([0], np.cumsum(hists[l])))
+        c_r1 = np.concatenate(([0], np.cumsum(hists[l + 1][1::2])))
+        c_child = np.concatenate(([0], np.cumsum(hists[l + 1])))
+        lo = c_lo[p]
+        r1_lo = c_r1[p]
+        out[:, l, 0] = lo - r1_lo               # r0_lo
+        out[:, l, 1] = r1_lo
+        out[:, l, 2] = c_child[sym >> (L - 1 - l)]
+    return out
+
+
+def _wt_select_tables(L: int, select0, select1, tables: jax.Array,
+                      symbol: jax.Array, offset: jax.Array) -> jax.Array:
+    """Bottom-up-only select walk using precomputed path tables: one row
+    gather [Q, L, 3] replaces every rank of the top-down sweep."""
+    symbol = symbol.astype(jnp.int64)
+    offset = offset.astype(jnp.int64)
+    t = tables[symbol]                          # [..., L, 3] row gather
+    p = t[..., L - 1, 2] + offset               # leaf position
+    for l in reversed(range(L)):
+        b = (symbol >> (L - 1 - l)) & 1
+        j = p - t[..., l, 2]
+        p = jnp.where(
+            b == 0,
+            select0(l, t[..., l, 0] + j),
+            select1(l, t[..., l, 1] + j),
+        )
+    return p
+
+
 def _wt_select_generic(n: int, L: int, rank1, select0, select1,
                        symbol: jax.Array, offset: jax.Array) -> jax.Array:
     """The two-sweep select walk, parameterized over the level primitives
@@ -218,32 +288,40 @@ def _wt_select_generic(n: int, L: int, rank1, select0, select1,
     return p
 
 
-def wt_select(wt: WaveletTree, symbol: jax.Array, offset: jax.Array) -> jax.Array:
+def wt_select(wt: WaveletTree, symbol: jax.Array, offset: jax.Array,
+              tables: jax.Array | None = None) -> jax.Array:
     """Vectorized over query arrays: global position (the vector id) of the
     (offset+1)-th occurrence of ``symbol`` (0-based offset) — the reference's
     wt.select(offset+1, list_no) (custom_invlists_impl.cpp:377-379).
 
-    Two sweeps over the L levels; every step is a batched rank or select.
+    With ``tables`` (wt_path_tables) the top-down rank sweep is replaced by
+    one table gather and only the L bottom-up selects run; without, the
+    classic two-sweep walk.
     """
+    s0 = lambda l, k: _select0(wt, l, k)
+    s1 = lambda l, k: _select1(wt, l, k)
+    if tables is not None:
+        return _wt_select_tables(wt.levels, s0, s1, tables, symbol, offset)
     return _wt_select_generic(
         wt.n, wt.levels,
-        lambda l, pos: _rank1(wt, l, pos),
-        lambda l, k: _select0(wt, l, k),
-        lambda l, k: _select1(wt, l, k),
+        lambda l, pos: _rank1(wt, l, pos), s0, s1,
         symbol, offset,
     )
 
 
-def wt_select_rrr(rrr, symbol: jax.Array, offset: jax.Array) -> jax.Array:
+def wt_select_rrr(rrr, symbol: jax.Array, offset: jax.Array,
+                  tables: jax.Array | None = None) -> jax.Array:
     """wt_select over RRR(63)-compressed bit planes (wt_type 1 —
     sdsl::wt_int<rrr_vector<63>> parity, custom_invlists_impl.cpp:367-373)."""
     from .rrr import rrr_rank1, rrr_select0, rrr_select1
 
+    s0 = lambda l, k: rrr_select0(rrr, l, k)
+    s1 = lambda l, k: rrr_select1(rrr, l, k)
+    if tables is not None:
+        return _wt_select_tables(rrr.levels, s0, s1, tables, symbol, offset)
     return _wt_select_generic(
         rrr.n, rrr.levels,
-        lambda l, pos: rrr_rank1(rrr, l, pos),
-        lambda l, k: rrr_select0(rrr, l, k),
-        lambda l, k: rrr_select1(rrr, l, k),
+        lambda l, pos: rrr_rank1(rrr, l, pos), s0, s1,
         symbol, offset,
     )
 

@@ -175,8 +175,12 @@ def _decode_kernel(n_max: int, capp: int, n_slices: int,
                     return acc + jnp.sum(sm, axis=0, keepdims=True,
                                          dtype=jnp.int32)
 
+                # i32 divisor: a bare python RB becomes a weak i64 under
+                # x64 and floor_divide's internal i64->i32 convert is
+                # unlowerable in Mosaic (infinite _convert_helper recursion)
                 rank = jax.lax.fori_loop(
-                    jnp.int32(0), (i + RB - 1) // RB, rank_blk,
+                    jnp.int32(0),
+                    jax.lax.div(i + RB - 1, jnp.int32(RB)), rank_blk,
                     jnp.zeros_like(lo))
                 syms_s[pl.ds(i, 1), :] = symbol
 

@@ -235,6 +235,9 @@ class ShardedIVF:
             fields = (wt[:2] if self._mode == "wt"
                       else (wt.classes, wt.off_words, wt.sb_off_start,
                             wt.sb_rank))
+            # + the precomputed per-symbol walk tables (wt_path_tables):
+            # they drop the whole top-down rank sweep from the translate
+            fields = fields + (np.asarray(container.wt_tables),)
             self._wt_arrays = tuple(
                 self._put(np.asarray(a), P()) for a in fields)
         else:
@@ -643,13 +646,13 @@ class ShardedIVF:
             else:  # wt / wt1: replicated global tree, select per label
                 sym = jnp.where(mine, lns, 0)
                 if mode == "wt":
-                    words_w, sbp_w = trans
+                    words_w, sbp_w, tab_w = trans
                     wt = WaveletTree(words_w, sbp_w, *wt_static)
-                    vals = wt_select(wt, sym, offs)
+                    vals = wt_select(wt, sym, offs, tables=tab_w)
                 else:
-                    cls_w, ow_w, sos_w, sbr_w = trans
+                    cls_w, ow_w, sos_w, sbr_w, tab_w = trans
                     rrr = RRRPlanes(cls_w, ow_w, sos_w, sbr_w, *wt_static)
-                    vals = wt_select_rrr(rrr, sym, offs)
+                    vals = wt_select_rrr(rrr, sym, offs, tables=tab_w)
                 found = mine
             part = jnp.where(found, vals.astype(jnp.int64), 0)
             I = jax.lax.psum(part, "lists")

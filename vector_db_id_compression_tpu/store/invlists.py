@@ -543,6 +543,20 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
             self.compressed_ids_size_in_bytes = self.wt.payload_bits // 8
             self.overhead_in_bytes = self.wt.index_bits // 8
 
+    @property
+    def wt_tables(self):
+        """Precomputed per-symbol walk tables (wt_path_tables): derived from
+        the list-length array — the symbol histogram — so they rebuild for
+        free after deserialization (nothing new in the artifact)."""
+        t = self.__dict__.get("_wt_tables")
+        if t is None:
+            from ..codecs.wavelet_tree import wt_path_tables
+
+            t = jax.numpy.asarray(
+                wt_path_tables(self._lengths, self.wt.levels))
+            self.__dict__["_wt_tables"] = t
+        return t
+
     def _select(self, sym, offs):
         # jit the whole multi-level walk once per container: eagerly it is
         # ~70 sequential small dispatches (u64-heavy for RRR), which
@@ -555,15 +569,16 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
             wt = self.wt
             n, levels = wt.n, wt.levels
             arrs = tuple(wt)[:-2]
+            tab = self.wt_tables
             if self.wt_type == 0:
-                core = jax.jit(lambda a, sy, of: wt_select(
-                    type(wt)(*a, n, levels), sy, of))
+                core = jax.jit(lambda a, t, sy, of: wt_select(
+                    type(wt)(*a, n, levels), sy, of, tables=t))
             else:
                 from ..codecs.wavelet_tree import wt_select_rrr
 
-                core = jax.jit(lambda a, sy, of: wt_select_rrr(
-                    type(wt)(*a, n, levels), sy, of))
-            fn = lambda sy, of: core(arrs, sy, of)
+                core = jax.jit(lambda a, t, sy, of: wt_select_rrr(
+                    type(wt)(*a, n, levels), sy, of, tables=t))
+            fn = lambda sy, of: core(arrs, tab, sy, of)
             self.__dict__["_select_jit"] = fn
         return fn(sym, offs)
 
