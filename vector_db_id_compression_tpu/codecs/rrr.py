@@ -198,15 +198,21 @@ def _read_offset(rrr: RRRPlanes, level: int, blk: jax.Array,
     return val & mask
 
 
-def _decode_blocks(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
-    """Unrank queried blocks -> u64[Q] bitmasks (bit i = position i)."""
-    start, _ = _block_start_and_rank(rrr, level, blk)
-    k0 = rrr.classes[level, blk].astype(jnp.int32)
-    off0 = _read_offset(rrr, level, blk, start)
+def _unrank_bits(off0: jax.Array, k0: jax.Array) -> jax.Array:
+    """Combinatorially unrank offsets -> u64[Q] bitmasks (bit i = pos i).
+
+    The binomial lookup C(BLOCK-1-i, k) fetches the step's table ROW
+    (contiguous, step index is the loop counter) and selects the per-query
+    entry with a masked reduce over the 64-wide class axis — a scattered
+    [Q]-element gather per step would serialize on TPU."""
+    iota64 = jnp.arange(BLOCK + 1, dtype=jnp.int32)
 
     def step(i, carry):
         off, k, bits = carry
-        c = _C_dev[BLOCK - 1 - i, jnp.clip(k, 0, BLOCK)]
+        row = jax.lax.dynamic_index_in_dim(
+            _C_dev, BLOCK - 1 - i, axis=0, keepdims=False)      # u64[64]
+        c = jnp.sum(
+            jnp.where(k[..., None] == iota64, row, jnp.uint64(0)), axis=-1)
         take = (off >= c) & (k > 0)
         off = jnp.where(take, off - c, off)
         bits = bits | jnp.where(
@@ -217,6 +223,14 @@ def _decode_blocks(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
     _, _, bits = jax.lax.fori_loop(
         0, BLOCK, step, (off0, k0, jnp.zeros_like(off0)))
     return bits
+
+
+def _decode_blocks(rrr: RRRPlanes, level: int, blk: jax.Array) -> jax.Array:
+    """Unrank queried blocks -> u64[Q] bitmasks (bit i = position i)."""
+    start, _ = _block_start_and_rank(rrr, level, blk)
+    k0 = rrr.classes[level, blk].astype(jnp.int32)
+    off0 = _read_offset(rrr, level, blk, start)
+    return _unrank_bits(off0, k0)
 
 
 def rrr_rank1(rrr: RRRPlanes, level: int, pos: jax.Array) -> jax.Array:
@@ -275,3 +289,82 @@ def rrr_select1(rrr: RRRPlanes, level: int, k: jax.Array) -> jax.Array:
 
 def rrr_select0(rrr: RRRPlanes, level: int, k: jax.Array) -> jax.Array:
     return _rrr_select(rrr, level, k, invert=True)
+
+
+def rrr_select_merged(rrr: RRRPlanes, level: int, k: jax.Array,
+                      invert: jax.Array) -> jax.Array:
+    """select0/select1 fused with a per-query ``invert`` vector: the walk
+    consumes exactly one of the two per query (branch bit), so evaluating
+    both — as a static-invert caller must under jnp.where — doubles the
+    expensive block unranking. One searchsorted per polarity (cheap), then
+    ONE class window, ONE offset read, ONE unranking for the batch.
+
+    Everything is recovered from the ones directory: zeros-before-superblock
+    is (sb+1)*SB_BITS - ones, zeros-per-block is BLOCK - class."""
+    sbr = rrr.sb_rank[level]
+    NSB = sbr.shape[0]
+    c0 = (jnp.arange(NSB, dtype=jnp.int64) + 1) * SB_BITS - sbr
+    sb1 = jnp.searchsorted(sbr, k + 1, side="left").astype(jnp.int64)
+    sb0 = jnp.searchsorted(c0, k + 1, side="left").astype(jnp.int64)
+    sb = jnp.clip(jnp.where(invert, sb0, sb1), 0, NSB - 1)
+    ones_before = jnp.where(sb > 0, sbr[jnp.maximum(sb - 1, 0)], 0)
+    before_sb = jnp.where(invert, sb * SB_BITS - ones_before, ones_before)
+
+    cls = _class_window(rrr, level, sb).astype(jnp.int64)       # [Q, S]
+    per_blk = jnp.where(invert[..., None], BLOCK - cls, cls)
+    cum = jnp.cumsum(per_blk, axis=-1)
+    k_rel = k - before_sb
+    rel = jnp.clip(jnp.sum((cum <= k_rel[..., None]).astype(jnp.int64),
+                           axis=-1), 0, SB_BLOCKS - 1)
+    before = before_sb + jnp.where(
+        rel > 0,
+        jnp.take_along_axis(cum, jnp.maximum(rel - 1, 0)[..., None],
+                            axis=-1)[..., 0],
+        0,
+    )
+    # class + offset start of the target block, straight from the window
+    # (no scattered [Q] gathers from the global tables)
+    widths = _OFF_BITS_dev[cls].astype(jnp.int64)
+    in_sb = jnp.arange(SB_BLOCKS, dtype=jnp.int64) < rel[..., None]
+    start = rrr.sb_off_start[level, sb] + jnp.sum(
+        jnp.where(in_sb, widths, 0), axis=-1)
+    k_cls = jnp.take_along_axis(cls, rel[..., None], axis=-1)[..., 0]
+    width = jnp.take_along_axis(widths, rel[..., None], axis=-1)[..., 0]
+    off0 = _read_offset_at(rrr, level, start, width)
+    bits = _unrank_bits(off0, k_cls.astype(jnp.int32))
+    blk = sb * SB_BLOCKS + rel
+    j = k - before
+    return blk * BLOCK + _select_in_block_v(bits, j, invert)
+
+
+def _read_offset_at(rrr: RRRPlanes, level: int, start: jax.Array,
+                    width: jax.Array) -> jax.Array:
+    """_read_offset with the field width supplied by the caller (avoids the
+    scattered class gather)."""
+    w = (start >> 5).astype(jnp.int32)
+    s = (start & 31).astype(jnp.uint32)
+    OW = rrr.off_words.shape[1]
+    w0 = rrr.off_words[level, jnp.clip(w, 0, OW - 1)].astype(jnp.uint64)
+    w1 = rrr.off_words[level, jnp.clip(w + 1, 0, OW - 1)].astype(jnp.uint64)
+    w2 = rrr.off_words[level, jnp.clip(w + 2, 0, OW - 1)].astype(jnp.uint64)
+    lo64 = w0 | (w1 << jnp.uint64(32))
+    s64 = s.astype(jnp.uint64)
+    val = lo64 >> s64
+    hi_part = jnp.where(s64 > 0, w2 << (jnp.uint64(64) - s64), jnp.uint64(0))
+    val = val | hi_part
+    mask = jnp.where(
+        width >= 63,
+        jnp.uint64(0xFFFFFFFFFFFFFFFF),
+        (jnp.uint64(1) << width.astype(jnp.uint64)) - jnp.uint64(1),
+    )
+    return val & mask
+
+
+def _select_in_block_v(bits: jax.Array, j: jax.Array,
+                       invert: jax.Array) -> jax.Array:
+    """_select_in_block with a per-query invert vector."""
+    shifts = jnp.arange(BLOCK, dtype=jnp.uint64)
+    b = ((bits[..., None] >> shifts) & jnp.uint64(1)).astype(jnp.int32)
+    b = jnp.where(invert[..., None], 1 - b, b)
+    cum = jnp.cumsum(b, axis=-1)
+    return jnp.argmax(cum == (j[..., None] + 1), axis=-1).astype(jnp.int64)

@@ -172,6 +172,35 @@ def _select1(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
     return _select_common(wt, level, k, wt.sb_prefix[level], invert=False)
 
 
+def _select_merged(wt: WaveletTree, level: int, k: jax.Array,
+                   invert: jax.Array) -> jax.Array:
+    """select0/select1 fused with a per-query ``invert`` vector: one window
+    gather + one in-window pass for the batch (a static-invert caller under
+    jnp.where evaluates both polarities). The zeros directory derives from
+    the ones directory: zeros-through-sb = (sb+1)*SB_BITS - ones."""
+    p1 = wt.sb_prefix[level]
+    SB = p1.shape[0]
+    p0 = (jnp.arange(SB, dtype=jnp.int64) + 1) * SB_BITS - p1
+    sb1 = jnp.searchsorted(p1, k + 1, side="left").astype(jnp.int64)
+    sb0 = jnp.searchsorted(p0, k + 1, side="left").astype(jnp.int64)
+    sb = jnp.clip(jnp.where(invert, sb0, sb1), 0, SB - 1)
+    ones_before = jnp.where(sb > 0, p1[jnp.maximum(sb - 1, 0)], 0)
+    before_sb = jnp.where(invert, sb * SB_BITS - ones_before, ones_before)
+    win = _window(wt, level, sb)
+    win = jnp.where(invert[..., None], ~win, win)
+    cum = jnp.cumsum(jax.lax.population_count(win).astype(jnp.int64), axis=-1)
+    k_rel = k - before_sb
+    rel = jnp.sum((cum <= k_rel[..., None]).astype(jnp.int64), axis=-1)
+    rel = jnp.clip(rel, 0, SB_WORDS - 1)
+    before = before_sb + jnp.where(
+        rel > 0,
+        jnp.take_along_axis(cum, jnp.maximum(rel - 1, 0)[..., None], axis=-1)[..., 0],
+        0,
+    )
+    word = jnp.take_along_axis(win, rel[..., None], axis=-1)[..., 0]
+    return (sb * SB_WORDS + rel) * 32 + _select_in_word(word, k - before)
+
+
 def _select0(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
     p1 = wt.sb_prefix[level]
     SB = p1.shape[0]
@@ -230,22 +259,20 @@ def wt_path_tables(symbol_counts: np.ndarray, L: int) -> np.ndarray:
     return out
 
 
-def _wt_select_tables(L: int, select0, select1, tables: jax.Array,
+def _wt_select_tables(L: int, select_merged, tables: jax.Array,
                       symbol: jax.Array, offset: jax.Array) -> jax.Array:
     """Bottom-up-only select walk using precomputed path tables: one row
-    gather [Q, L, 3] replaces every rank of the top-down sweep."""
+    gather [Q, L, 3] replaces every rank of the top-down sweep, and each
+    level runs ONE merged select (per-query polarity) instead of both."""
     symbol = symbol.astype(jnp.int64)
     offset = offset.astype(jnp.int64)
     t = tables[symbol]                          # [..., L, 3] row gather
     p = t[..., L - 1, 2] + offset               # leaf position
     for l in reversed(range(L)):
-        b = (symbol >> (L - 1 - l)) & 1
+        zero = ((symbol >> (L - 1 - l)) & 1) == 0
         j = p - t[..., l, 2]
-        p = jnp.where(
-            b == 0,
-            select0(l, t[..., l, 0] + j),
-            select1(l, t[..., l, 1] + j),
-        )
+        k = jnp.where(zero, t[..., l, 0], t[..., l, 1]) + j
+        p = select_merged(l, k, zero)
     return p
 
 
@@ -298,13 +325,15 @@ def wt_select(wt: WaveletTree, symbol: jax.Array, offset: jax.Array,
     one table gather and only the L bottom-up selects run; without, the
     classic two-sweep walk.
     """
-    s0 = lambda l, k: _select0(wt, l, k)
-    s1 = lambda l, k: _select1(wt, l, k)
     if tables is not None:
-        return _wt_select_tables(wt.levels, s0, s1, tables, symbol, offset)
+        return _wt_select_tables(
+            wt.levels, lambda l, k, inv: _select_merged(wt, l, k, inv),
+            tables, symbol, offset)
     return _wt_select_generic(
         wt.n, wt.levels,
-        lambda l, pos: _rank1(wt, l, pos), s0, s1,
+        lambda l, pos: _rank1(wt, l, pos),
+        lambda l, k: _select0(wt, l, k),
+        lambda l, k: _select1(wt, l, k),
         symbol, offset,
     )
 
@@ -313,15 +342,17 @@ def wt_select_rrr(rrr, symbol: jax.Array, offset: jax.Array,
                   tables: jax.Array | None = None) -> jax.Array:
     """wt_select over RRR(63)-compressed bit planes (wt_type 1 —
     sdsl::wt_int<rrr_vector<63>> parity, custom_invlists_impl.cpp:367-373)."""
-    from .rrr import rrr_rank1, rrr_select0, rrr_select1
+    from .rrr import rrr_rank1, rrr_select0, rrr_select1, rrr_select_merged
 
-    s0 = lambda l, k: rrr_select0(rrr, l, k)
-    s1 = lambda l, k: rrr_select1(rrr, l, k)
     if tables is not None:
-        return _wt_select_tables(rrr.levels, s0, s1, tables, symbol, offset)
+        return _wt_select_tables(
+            rrr.levels, lambda l, k, inv: rrr_select_merged(rrr, l, k, inv),
+            tables, symbol, offset)
     return _wt_select_generic(
         rrr.n, rrr.levels,
-        lambda l, pos: rrr_rank1(rrr, l, pos), s0, s1,
+        lambda l, pos: rrr_rank1(rrr, l, pos),
+        lambda l, k: rrr_select0(rrr, l, k),
+        lambda l, k: rrr_select1(rrr, l, k),
         symbol, offset,
     )
 
