@@ -69,18 +69,45 @@ def global_lists_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("lists",))
 
 
-def process_shard_bounds(n_rows: int) -> tuple[int, int]:
+def addressable_row_bounds(mesh: Mesh, n_rows: int) -> tuple[int, int]:
+    """[lo, hi) rows of a P('lists')-sharded [n_rows, ...] array owned by
+    THIS process's addressable devices — what a process must materialize
+    and feed to ``jax.make_array_from_process_local_data``. Rows are
+    sharded contiguously (mesh device order == jax.devices() order ==
+    process order), so the union of local shards is one contiguous range.
+    This is the canonical helper: ShardedIVF's constructor uses it."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("lists"))
+    idxs = [ix[0] for ix in
+            sh.addressable_devices_indices_map((n_rows,)).values()]
+    starts = [ix.start or 0 for ix in idxs]
+    stops = [n_rows if ix.stop is None else ix.stop for ix in idxs]
+    lo, hi = min(starts), max(stops)
+    spans = sorted(zip(starts, stops))
+    cover = spans[0][0]
+    for s, e in spans:
+        assert s <= cover, "non-contiguous process shard layout"
+        cover = max(cover, e)
+    return lo, hi
+
+
+def process_shard_bounds(n_rows: int, mesh: Optional[Mesh] = None
+                         ) -> tuple[int, int]:
     """[lo, hi) slice of a lists-sharded global array that THIS process must
-    materialize (rows are sharded contiguously, matching parallel.search's
-    shard s owns [s*B_loc, (s+1)*B_loc) layout)."""
+    materialize. With a mesh, exact (via the sharding's addressable-device
+    index map); without, the uniform contiguous layout the global 'lists'
+    mesh produces."""
+    if mesh is not None:
+        return addressable_row_bounds(mesh, n_rows)
     per = n_rows // jax.process_count()
     p = jax.process_index()
     return p * per, (p + 1) * per if p + 1 < jax.process_count() else n_rows
 
 
-def host_local_slice(arr: np.ndarray) -> np.ndarray:
+def host_local_slice(arr: np.ndarray, mesh: Optional[Mesh] = None
+                     ) -> np.ndarray:
     """The rows of a global lists-sharded host array this process feeds to
-    jax.make_array_from_process_local_data (ShardedIVF computes the same
-    bounds internally via the sharding's addressable-device index map)."""
-    lo, hi = process_shard_bounds(arr.shape[0])
+    jax.make_array_from_process_local_data."""
+    lo, hi = process_shard_bounds(arr.shape[0], mesh)
     return arr[lo:hi]

@@ -69,23 +69,9 @@ from ..store.invlists import (
 _OFF_MASK = jnp.int64((1 << 32) - 1)
 
 
-def _addressable_row_bounds(mesh: Mesh, n_rows: int) -> tuple[int, int]:
-    """[lo, hi) rows of a P('lists')-sharded [n_rows, ...] array owned by
-    THIS process's addressable devices. Rows are sharded contiguously
-    (mesh device order == jax.devices() order == process order), so the
-    union of local shards is one contiguous range."""
-    sh = NamedSharding(mesh, P("lists"))
-    idxs = [ix[0] for ix in
-            sh.addressable_devices_indices_map((n_rows,)).values()]
-    starts = [ix.start or 0 for ix in idxs]
-    stops = [n_rows if ix.stop is None else ix.stop for ix in idxs]
-    lo, hi = min(starts), max(stops)
-    spans = sorted(zip(starts, stops))
-    cover = spans[0][0]
-    for s, e in spans:
-        assert s <= cover, "non-contiguous process shard layout"
-        cover = max(cover, e)
-    return lo, hi
+# canonical process-local bounds helper lives in parallel.multihost (the
+# multi-host runtime module); keep the old private name as an alias
+from .multihost import addressable_row_bounds as _addressable_row_bounds
 
 
 class ShardedIVF:
