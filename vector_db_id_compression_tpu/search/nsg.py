@@ -48,23 +48,37 @@ def _block_topk(xblock, xb, k):
     return -neg, idx
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _block_topk_noself(xblock, xb, row0, k):
+    """Top-k nearest with the self column masked in-program (row0 + r),
+    so no host-side per-row self-drop loop is needed."""
+    dots = jnp.dot(xblock, xb.T, preferred_element_type=jnp.float32)
+    b2 = jnp.sum(xb * xb, axis=1)
+    d2 = b2[None, :] - 2.0 * dots
+    B = xblock.shape[0]
+    rows = jnp.arange(B, dtype=jnp.int32)
+    d2 = d2.at[rows, jnp.minimum(row0 + rows, d2.shape[1] - 1)].set(jnp.inf)
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)
+
+
 def build_knn_graph(xb: np.ndarray, knn: int, block: int = 1024) -> np.ndarray:
-    """Exact kNN graph (self excluded) via blocked matmuls → i32[N, knn]."""
+    """Exact kNN graph (self excluded) via blocked matmuls → i32[N, knn].
+
+    All blocks dispatch async (device [block, knn] outputs are tiny); one
+    host pull at the end — per-block syncs would serialize ~N/block round
+    trips on a tunneled device."""
     xb_dev = jnp.asarray(np.asarray(xb, np.float32))
     N = xb_dev.shape[0]
-    out = np.zeros((N, knn), dtype=np.int32)
+    parts = []
     for lo in range(0, N, block):
         hi = min(lo + block, N)
         blk = xb_dev[lo:hi]
         if hi - lo < block:
             blk = jnp.pad(blk, ((0, block - (hi - lo)), (0, 0)))
-        _, idx = _block_topk(blk, xb_dev, knn + 1)
-        idx = np.asarray(idx)[: hi - lo]
-        # drop self edges
-        for r in range(hi - lo):
-            row = idx[r][idx[r] != lo + r]
-            out[lo + r] = row[:knn]
-    return out
+        parts.append(_block_topk_noself(blk, xb_dev, jnp.int32(lo), knn))
+    out = np.concatenate([np.asarray(p) for p in parts], axis=0)
+    return out[:N]
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -98,14 +112,22 @@ def _mrng_prune_block(cand_vecs, cand_d, valid, R):
 
 
 def build_nsg(xb: np.ndarray, R: int, knn: Optional[int] = None,
-              block: int = 512) -> Tuple[Graph, int]:
+              block: int = 512, progress: bool = None) -> Tuple[Graph, int]:
     """NSG-style graph with max degree R; returns (Graph, medoid entry)."""
+    import time as _t
+
     xb = np.asarray(xb, np.float32)
     N = len(xb)
+    if progress is None:
+        progress = N >= 200_000
+    log = (lambda m: print(f"  [build_nsg] {m}", flush=True)) if progress \
+        else (lambda m: None)
     knn = knn or min(max(2 * R, 32), N - 1)
+    t0 = _t.time()
     knng = build_knn_graph(xb, knn)
-    xb_dev = jnp.asarray(xb)
+    log(f"knn graph ({knn}-NN) in {_t.time()-t0:.1f}s")
 
+    t0 = _t.time()
     adjacency = np.full((N, R), -1, dtype=np.int32)
     for lo in range(0, N, block):
         hi = min(lo + block, N)
@@ -122,48 +144,66 @@ def build_nsg(xb: np.ndarray, R: int, knn: Optional[int] = None,
             _mrng_prune_block(jnp.asarray(cand_vecs), jnp.asarray(cand_d),
                               jnp.ones((B, knn), bool), R)
         )
-        for r in range(B):
-            sel = cand_idx[r][keep[r]][:R]
-            adjacency[lo + r, : len(sel)] = sel
+        # vectorized scatter of kept candidates into adjacency slots
+        # (prune keeps at most R per row); slot R is a discard column
+        kcum = np.cumsum(keep, axis=1)
+        slot = np.where(keep & (kcum <= R), kcum - 1, R)
+        adj_b = np.full((B, R + 1), -1, dtype=np.int32)
+        np.put_along_axis(adj_b, slot, np.where(slot < R, cand_idx, -1),
+                          axis=1)
+        adjacency[lo:hi] = adj_b[:, :R]
+    log(f"MRNG prune in {_t.time()-t0:.1f}s")
 
     # medoid entry + connectivity fix (NSG spanning-tree repair)
     medoid = int(np.argmin(((xb - xb.mean(0)) ** 2).sum(1)))
+    t0 = _t.time()
     adjacency = _ensure_connected(adjacency, xb, medoid)
+    log(f"connectivity repair in {_t.time()-t0:.1f}s")
     return Graph(adjacency), medoid
 
 
 def _ensure_connected(adjacency: np.ndarray, xb: np.ndarray, root: int) -> np.ndarray:
     N, R = adjacency.shape
+    # BFS by whole frontiers (vectorized) instead of a per-node stack
     seen = np.zeros(N, dtype=bool)
-    stack = [root]
     seen[root] = True
-    while stack:
-        cur = stack.pop()
-        for v in adjacency[cur]:
-            if v >= 0 and not seen[v]:
-                seen[v] = True
-                stack.append(int(v))
+    frontier = np.array([root], dtype=np.int64)
+    while len(frontier):
+        nxt = adjacency[frontier].ravel()
+        nxt = nxt[nxt >= 0]
+        nxt = nxt[~seen[nxt]]
+        if len(nxt) == 0:
+            break
+        nxt = np.unique(nxt)
+        seen[nxt] = True
+        frontier = nxt
     unreached = np.flatnonzero(~seen)
     if len(unreached) == 0:
         return adjacency
     reached = np.flatnonzero(seen)
-    # host numpy on purpose: `reached` grows every iteration, so a jitted
-    # version would recompile per node (new shape each time)
-    for u in unreached:
-        # attach from the nearest reached node (append or replace last slot)
-        d2 = ((xb[reached] - xb[u]) ** 2).sum(axis=1)
-        parent = int(reached[np.argmin(d2)])
+    # nearest INITIALLY-reached parent per unreached node, computed in one
+    # blocked device pass (an incremental python loop re-scanned the whole
+    # reached set per node — O(U*N*d) host work at 1M nodes). Attaching to
+    # an already-reached parent preserves connectivity exactly the same.
+    xr = jnp.asarray(xb[reached])
+    parents = np.empty(len(unreached), dtype=np.int64)
+    blk = 4096
+    for s in range(0, len(unreached), blk):
+        e = min(s + blk, len(unreached))
+        xu = jnp.asarray(xb[unreached[s:e]])
+        d2 = (jnp.sum(xu * xu, axis=1)[:, None]
+              - 2.0 * jnp.dot(xu, xr.T, preferred_element_type=jnp.float32)
+              + jnp.sum(xr * xr, axis=1)[None, :])
+        parents[s:e] = reached[np.asarray(jnp.argmin(d2, axis=1))]
+    # slot assignment stays a (cheap) host loop: parents can repeat, and a
+    # parent's row may already contain u — a duplicate neighbor would break
+    # the ROC container (lossless only for distinct symbols)
+    for u, parent in zip(unreached, parents):
         row = adjacency[parent]
-        # the parent may itself be a previously-attached node whose original
-        # out-edges were never traversed — its row can already contain u, and
-        # a second write would duplicate a neighbor (which the ROC container
-        # rejects: the codec is lossless only for distinct symbols)
         if u not in row:
             free = np.flatnonzero(row < 0)
             slot = int(free[0]) if len(free) else R - 1
             adjacency[parent, slot] = u
-        seen[u] = True
-        reached = np.append(reached, u)
     return adjacency
 
 
