@@ -202,11 +202,18 @@ class DatasetFBSsnpp(Dataset):
     def __init__(self, basedir: Optional[str] = None):
         basedir = basedir or os.environ.get("FB_SSNPP_DIR", "")
         self.basedir = Path(basedir)
-        self.d, self.nb, self.nq, self.nt = 256, 10**6, 10**4, 0
         for f in ("database1M.npy", "queries.npy", "ground_truth1M.npy"):
             if not (self.basedir / f).exists():
                 raise FileNotFoundError(
                     f"{self.basedir / f} not found — set $FB_SSNPP_DIR")
+        # shapes read from the files (the reference hardcodes d=256, nb=1M,
+        # nq=10k, qinco_datasets.py:27-29; deriving keeps the documented
+        # values for the real dataset and lets fixture-sized files work)
+        db = np.load(self.basedir / "database1M.npy", mmap_mode="r")
+        q = np.load(self.basedir / "queries.npy", mmap_mode="r")
+        self.nb, self.d = db.shape
+        self.nq = len(q)
+        self.nt = 0
 
     def get_train(self):
         return self.get_database()[:100_000]

@@ -198,6 +198,7 @@ def run_search(ds, args, workdir: Path):
                       f"{max_perf=:.3f} {min_time=:.3f})", flush=True)
                 sweep.append(dict(parameters=params, skipped=True))
                 continue
+        ts_runs, tr_runs = [], []
         for run in range(args.runs):
             I_rr, t_search, t_rerank = one_run(params["nprobe"],
                                                params["nshort"])
@@ -205,12 +206,21 @@ def run_search(ds, args, workdir: Path):
             row = dict(run=run, parameters=params, t_search=t_search,
                        t_rerank=t_rerank, recalls=recalls)
             results.append(row)
+            ts_runs.append(t_search)
+            tr_runs.append(t_rerank)
             print(f"[search] {params} run {run}: search {t_search:.3f}s "
                   f"rerank {t_rerank:.3f}s recalls {recalls}", flush=True)
         op.add_operating_point(params, recalls["1"], t_search + t_rerank)
+        # redo-averaging discipline (reference --redo_search N averaged,
+        # /root/reference/README.md:185): the sweep row carries mean AND min
+        # over the warm redos — min is the best view of the algorithmic cost
+        # on a shared host, mean matches the reference's protocol
         sweep.append(dict(parameters=params, skipped=False,
-                          t_search=t_search, t_rerank=t_rerank,
-                          recalls=recalls))
+                          t_search=float(np.mean(ts_runs)),
+                          t_search_min=float(np.min(ts_runs)),
+                          t_rerank=float(np.mean(tr_runs)),
+                          t_rerank_min=float(np.min(tr_runs)),
+                          runs=len(ts_runs), recalls=recalls))
 
     out = dict(args={k_: v for k_, v in vars(args).items()},
                ids_size=int(ids_size),

@@ -50,7 +50,7 @@ def sharded_roc_encode(
         # mark the per-shard initial states as device-varying so the scan
         # carry types line up under shard_map's varying-axis typing
         states = jax.tree_util.tree_map(
-            lambda a: jax.lax.pvary(a, "lists"), states
+            lambda a: jax.lax.pcast(a, "lists", to="varying"), states
         )
         st, order = rd.roc_encode_batch(ids_l, len_l, prec_l, pool, states)
         return st, order
