@@ -150,3 +150,21 @@ def test_secondary_ops_vs_oracle():
                                    jnp.asarray(rn, jnp.int64))
     np.testing.assert_array_equal(np.asarray(got_a), want_a)
     np.testing.assert_array_equal(np.asarray(got_b), want_b)
+
+
+def test_decode_all_select_forms_identical(monkeypatch):
+    """count-select (small graph shapes) and scatter-select (large invlist
+    shapes) must produce identical decodes — the gate is a perf choice."""
+    import vector_db_id_compression_tpu.codecs.elias_fano as ef_mod
+
+    rng = np.random.default_rng(5)
+    lists = [_rand_sorted(rng, m, 10**6) for m in (32, 7, 1, 31, 0)]
+    batch = batch_ef_lists([ef_encode_list(v) for v in lists])
+    n_max = 32
+    monkeypatch.setattr(ef_mod, "_EF_COUNT_SELECT_CELLS", 10**9)
+    by_count = np.asarray(ef_mod.ef_decode_all(batch, n_max))
+    monkeypatch.setattr(ef_mod, "_EF_COUNT_SELECT_CELLS", 0)
+    by_scatter = np.asarray(ef_mod.ef_decode_all(batch, n_max))
+    np.testing.assert_array_equal(by_count, by_scatter)
+    for b, v in enumerate(lists):
+        np.testing.assert_array_equal(by_count[b, : len(v)], v)

@@ -127,3 +127,37 @@ def test_empty_lists_handled():
         assert comp.list_size(0) == 0
         np.testing.assert_array_equal(np.sort(comp.get_ids(1)), [0, 2, 5])
         np.testing.assert_array_equal(np.sort(comp.get_ids(3)), [1, 3, 4])
+
+
+def test_prepared_container_translate_interpret():
+    """The whole-container Pallas translate (single-kernel decode_select)
+    must match the per-bucket chain exactly — exercised here through the
+    interpret path so CPU CI covers the TPU fast path's program."""
+    from vector_db_id_compression_tpu.store import invlists as inv_mod
+
+    rng = np.random.default_rng(11)
+    il = _make_source(rng, nlist=12, ntotal=400)
+    comp = RocInvertedLists(il)
+
+    # labels across every non-empty list, mixed offsets, duplicates included
+    lens = comp.lengths
+    lns, offs = [], []
+    for ln in range(il.nlist):
+        n = int(lens[ln])
+        if n == 0:
+            continue
+        take = rng.integers(0, n, size=min(n, 5))
+        lns += [ln] * len(take)
+        offs += list(take)
+    lns = np.array(lns, np.int64)
+    offs = np.array(offs, np.int64)
+
+    expect = inv_mod.CompressedInvertedLists.decode_select(comp, lns, offs)
+    prep = inv_mod._prepared_container_translate(comp, interpret=True)
+    assert prep is not None, "interpret-mode prep must build on CPU"
+    got = comp.decode_select(lns, offs)
+    np.testing.assert_array_equal(got, expect)
+
+    # empty query and out-of-length offsets are safe
+    assert len(comp.decode_select(np.zeros(0, np.int64),
+                                  np.zeros(0, np.int64))) == 0

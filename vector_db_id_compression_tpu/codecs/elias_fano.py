@@ -198,24 +198,49 @@ def ef_select_range(ef: EliasFanoBatch, lane: jax.Array, n: jax.Array):
     return ef_select(ef, lane, n), ef_select(ef, lane, n + 1)
 
 
+# below this many compare cells per lane the select is computed by dense
+# counting (no scatter) — the graph-adjacency shape (P ~ 96, n_max = K ~ 32)
+# sits far under it; invlist full decodes (P, n_max in the thousands) would
+# blow past it and keep the scatter form
+_EF_COUNT_SELECT_CELLS = 1 << 17
+
+
 def ef_decode_all(ef: EliasFanoBatch, n_max: int) -> jax.Array:
     """Decode every lane's full list → u64[B, n_max], zero-padded.
 
-    One dense pass: unpack high bits, cumsum ranks, scatter set-bit positions
-    to their rank slots, then combine with low fields.
+    One dense pass over the high bitvector — the batched equivalent of the
+    reference's select_enumerator sweep (elias_fano.hpp:210-261). Two select
+    forms, bit-identical:
+
+      - **count-select** (small P*n_max — the in-traversal graph fetch):
+        position of the (k+1)-th set bit = #positions whose inclusive
+        set-bit count <= k, a dense compare+reduce with no scatter (XLA
+        scatters serialize on TPU; this form cut the EF graph-traversal
+        fetch to ROC-provider cost);
+      - **scatter-select** (large shapes — invlist full decodes): cumsum
+        ranks then scatter set-bit positions to their rank slots.
     """
     B, HW = ef.high.words.shape
+    P = HW * 32
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((ef.high.words[:, :, None] >> shifts) & jnp.uint32(1)).reshape(B, HW * 32)
-    ranks = jnp.cumsum(bits.astype(jnp.int32), axis=1) - 1  # rank of each set bit
-    pos = jnp.arange(HW * 32, dtype=jnp.int32)[None, :]
-    valid = (bits == 1) & (ranks < n_max) & (pos < ef.high.nbits[:, None])
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], ranks.shape)
-    # invalid writes are routed to index n_max and dropped
-    high_pos = jnp.zeros((B, n_max), dtype=jnp.int32).at[
-        b_idx, jnp.where(valid, ranks, n_max)
-    ].set(jnp.broadcast_to(pos, ranks.shape), mode="drop")
+    bits = ((ef.high.words[:, :, None] >> shifts) & jnp.uint32(1)).reshape(B, P)
+    counts = jnp.cumsum(bits.astype(jnp.int32), axis=1)  # inclusive
     k = jnp.broadcast_to(jnp.arange(n_max, dtype=jnp.int32)[None, :], (B, n_max))
+    if P * n_max <= _EF_COUNT_SELECT_CELLS:
+        # counts increments exactly at set bits, so for k < m the number of
+        # positions with counts <= k IS select1(k); padding columns beyond
+        # nbits are zero bits and never change counts
+        high_pos = jnp.sum(
+            (counts[:, :, None] <= k[:, None, :]).astype(jnp.int32), axis=1)
+    else:
+        ranks = counts - bits.astype(jnp.int32)  # exclusive: rank of each set bit
+        pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+        valid = (bits == 1) & (ranks < n_max) & (pos < ef.high.nbits[:, None])
+        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], ranks.shape)
+        # invalid writes are routed to index n_max and dropped
+        high_pos = jnp.zeros((B, n_max), dtype=jnp.int32).at[
+            b_idx, jnp.where(valid, ranks, n_max)
+        ].set(jnp.broadcast_to(pos, ranks.shape), mode="drop")
     lane = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, n_max))
     low = _low_fields_dyn(ef.low_words, ef.l, lane, k)
     high_val = (high_pos - k).astype(jnp.uint64)
