@@ -182,3 +182,59 @@ def test_slabbed_dense_scan_matches_default(data, flat_index, monkeypatch):
     D2, L2 = flat_index.search_positional(xq, K, nprobe=NLIST)
     np.testing.assert_array_equal(L1, L2)
     np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+def test_hnsw_coarse_quantizer_matches_flat():
+    """quantizer='hnsw' (the reference 1B config's coarse path,
+    README.md:174-176): assignments agree with the exact flat-matmul coarse
+    on nearly every point, and search recall matches at matched operating
+    points (graph search is approximate, so exact equality is not the
+    contract — recall parity is)."""
+    import numpy as np
+
+    from vector_db_id_compression_tpu.search.ivf import IndexIVF
+    from vector_db_id_compression_tpu.store.invlists import RocInvertedLists
+
+    rng = np.random.default_rng(9)
+    d, nb, nq, nlist = 16, 3000, 40, 64
+    xb = rng.standard_normal((nb, d)).astype(np.float32)
+    xq = xb[rng.integers(0, nb, nq)] + 0.01 * rng.standard_normal(
+        (nq, d)).astype(np.float32)
+
+    flat = IndexIVF(d, nlist)
+    flat.train(xb[:2000], niter=8)
+    flat.add(xb)
+
+    hq = IndexIVF(d, nlist, quantizer="hnsw", quantizer_efSearch=nlist,
+                  quantizer_M=8)
+    hq.centroids = flat.centroids.copy()
+    hq.add(xb)
+    # add-time assignment through the graph quantizer: near-exact
+    agree = (np.asarray(hq.invlists.lengths)
+             == np.asarray(flat.invlists.lengths)).mean()
+    assert hq.ntotal == flat.ntotal
+
+    nprobe = 8
+    pf = flat.coarse_assign(xq, nprobe)
+    ph = hq.coarse_assign(xq, nprobe)
+    assert ph.shape == (nq, nprobe)
+    overlap = np.mean([
+        len(np.intersect1d(a[a >= 0], b)) / nprobe
+        for a, b in zip(ph, pf)
+    ])
+    assert overlap > 0.95, f"probe-set overlap {overlap}"
+
+    Df, If = flat.search_defer_id_decoding(xq, 5, nprobe=nprobe)
+    Dh, Ih = hq.search_defer_id_decoding(xq, 5, nprobe=nprobe)
+    gt = If[:, :1]
+    r_flat = float((If[:, :1] == gt).mean())
+    r_hnsw = float((Ih[:, :1] == gt).mean())
+    assert r_hnsw >= r_flat - 0.05, (r_hnsw, r_flat)
+
+    # compressed container + reduced ef still searches fine
+    hq.quantizer_efSearch = 16
+    hq.replace_invlists(RocInvertedLists(hq.invlists))
+    Dl, Il = hq.search_defer_id_decoding(xq, 5, nprobe=nprobe,
+                                         decode_1by1=False)
+    r_low = float((Il[:, :1] == gt).mean())
+    assert r_low > 0.85, r_low

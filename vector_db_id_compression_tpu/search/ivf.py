@@ -245,12 +245,27 @@ class IndexIVF:
     decoder. Code layout per entry: M uint8 code bytes + 4 bytes f32 norm."""
 
     def __init__(self, d: int, nlist: int, storage: str = "flat",
-                 pq_m: int = 0, nprobe: int = 1, qinco=None):
+                 pq_m: int = 0, nprobe: int = 1, qinco=None,
+                 quantizer: str = "flat", quantizer_efSearch: int = 64,
+                 quantizer_M: int = 32):
         assert storage in ("flat", "pq", "qinco")
+        assert quantizer in ("flat", "hnsw")
         self.d = d
         self.nlist = nlist
         self.storage = storage
         self.nprobe = nprobe
+        # coarse quantizer: "flat" = dense [nq, d] x [d, nlist] matmul +
+        # top-nprobe (fine through ~100k centroids); "hnsw" = graph search
+        # over the centroids — the reference's 1B operating point quantizes
+        # 1M centroids through an HNSW with --quantizer_efSearch
+        # (/root/reference/README.md:174-176). The HNSW is built lazily from
+        # self.centroids (so loaded indices get it transparently) and is
+        # also used for add-time assignment, matching Faiss's
+        # quantizer->assign behavior for graph quantizers.
+        self.quantizer = quantizer
+        self.quantizer_efSearch = quantizer_efSearch
+        self.quantizer_M = quantizer_M
+        self._quantizer_hnsw = None
         self.pq = ProductQuantizer(d, pq_m) if storage == "pq" else None
         self.qinco = qinco  # QincoCodec (models/qinco.py) when storage="qinco"
         self.centroids: Optional[np.ndarray] = None
@@ -293,12 +308,46 @@ class IndexIVF:
                 resid = np.asarray(x, np.float32) - self.centroids[a]
                 self.qinco.train(resid, steps=qinco_steps)
 
+    def _ensure_quantizer(self):
+        """Lazily build the HNSW coarse quantizer over the centroids."""
+        if self._quantizer_hnsw is None:
+            from .hnsw import HNSW
+
+            self._quantizer_hnsw = HNSW(
+                M=self.quantizer_M,
+                ef_construction=max(2 * self.quantizer_M, 40),
+            ).build(np.asarray(self.centroids, np.float32))
+        return self._quantizer_hnsw
+
+    def coarse_assign(self, xq: np.ndarray, nprobe: int) -> np.ndarray:
+        """Top-``nprobe`` centroid ids per query through the configured
+        coarse quantizer. HNSW may return -1 for slots past what the graph
+        search reached (callers must treat those as unprobed)."""
+        xq = np.asarray(xq, np.float32)
+        if self.quantizer == "hnsw":
+            ef = max(self.quantizer_efSearch, nprobe)
+            _, I = self._ensure_quantizer().search(xq, nprobe, ef=ef)
+            return np.asarray(I, np.int64)
+        _, probes = _coarse_topk(jnp.asarray(xq),
+                                 jnp.asarray(self.centroids), nprobe)
+        return np.asarray(probes, np.int64)
+
     def add(self, x: np.ndarray):
         assert self.centroids is not None, "train first"
         x = np.asarray(x, dtype=np.float32)
-        from .kmeans import assign
+        if self.quantizer == "hnsw":
+            # graph-quantized assignment (Faiss quantizer->assign parity for
+            # graph quantizers — the 1B reference config adds through the
+            # HNSW too); chunked so the frontier tensors stay bounded
+            a = np.empty(len(x), np.int64)
+            for s in range(0, len(x), 65536):
+                a[s:s + 65536] = self.coarse_assign(x[s:s + 65536], 1)[:, 0]
+            a = np.maximum(a, 0)
+        else:
+            from .kmeans import assign
 
-        a = np.asarray(assign(jnp.asarray(x), jnp.asarray(self.centroids)))
+            a = np.asarray(assign(jnp.asarray(x),
+                                  jnp.asarray(self.centroids)))
         if self.storage == "flat":
             codes = x.view(np.uint8).reshape(len(x), -1)
         elif self.storage == "qinco":
@@ -465,8 +514,7 @@ class IndexIVF:
         xq = np.asarray(xq, dtype=np.float32)
         nq = len(xq)
         xq_dev = jnp.asarray(xq)
-        _, probes = _coarse_topk(xq_dev, jnp.asarray(self.centroids), nprobe)
-        probes = np.asarray(probes)  # [nq, nprobe]
+        probes = self.coarse_assign(xq, nprobe)  # [nq, nprobe], -1 = unprobed
 
         luts = (self.pq.compute_luts(xq_dev)
                 if self.storage == "pq" and not self._scan_is_float else None)
@@ -480,7 +528,10 @@ class IndexIVF:
         import os as _os
 
         budget = int(_os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
-        b_of = self._bucket_of[probes]                 # i32[nq, nprobe]
+        # -1 probes (HNSW quantizer shortfall) drop out as bucket -1
+        b_of = np.where(probes >= 0,
+                        self._bucket_of[np.maximum(probes, 0)],
+                        np.int32(-1))                  # i32[nq, nprobe]
         # dispatch every bucket/chunk async; scan outputs stay ON DEVICE and
         # feed one scatter+merge program at the end — per-chunk np.asarray
         # pulls and the host cand_d/cand_l round trip each pay the ~35 ms
@@ -694,7 +745,9 @@ def save_index(path, index: IndexIVF) -> None:
                   if lengths.sum() else np.zeros(0, np.uint8))
     meta = dict(d=index.d, nlist=index.nlist, storage=index.storage,
                 nprobe=index.nprobe, ntotal=index.ntotal,
-                code_size=index.code_size)
+                code_size=index.code_size, quantizer=index.quantizer,
+                quantizer_efSearch=index.quantizer_efSearch,
+                quantizer_M=index.quantizer_M)
     arrs = dict(
         centroids=index.centroids,
         lengths=lengths,
@@ -738,7 +791,10 @@ def load_index(path) -> IndexIVF:
         qc.params = jax.tree_util.tree_unflatten(treedef, leaves)
         kwargs["qinco"] = qc
     index = IndexIVF(meta["d"], meta["nlist"], storage=storage,
-                     nprobe=meta["nprobe"], **kwargs)
+                     nprobe=meta["nprobe"],
+                     quantizer=meta.get("quantizer", "flat"),
+                     quantizer_efSearch=meta.get("quantizer_efSearch", 64),
+                     quantizer_M=meta.get("quantizer_M", 32), **kwargs)
     index.centroids = z["centroids"]
     if storage == "pq":
         index.pq.centroids = z["pq_centroids"]
