@@ -421,7 +421,12 @@ class RocPallasDecoder:
     def supports(max_precision: int, n_max: int) -> bool:
         return max_precision <= 32 and n_max < (1 << 16)
 
-    def __init__(self, states: rd.RocStates, lengths, precision, pool, n_max: int):
+    def __init__(self, states: rd.RocStates, lengths, precision, pool,
+                 n_max: int, capp: int | None = None):
+        """``capp`` optionally pins the kernel stack-buffer height (rows)
+        instead of deriving it from max(stack_len) — multi-process builds
+        pass the GLOBAL maximum so every process compiles the same kernel
+        shape over its local lanes."""
         lengths = np.asarray(lengths, dtype=np.int32)
         precision = np.asarray(precision, dtype=np.int32)
         if not self.supports(int(precision.max(initial=0)), n_max):
@@ -441,7 +446,8 @@ class RocPallasDecoder:
         # decode never grows the stack past its initial height (+1 transient
         # word per step before the matching refill) — size the kernel buffer
         # from the actual max stack height, not the encode-side capacity
-        max_len = int(np.max(np.asarray(states.stack_len), initial=0))
+        max_len = (int(np.max(np.asarray(states.stack_len), initial=0))
+                   if capp is None else capp)
         self._capp = -(-(POOL_ROWS + max_len + 8) // 8) * 8
         self._n_max_pad = -(-n_max // 8) * 8
         if _dec_lane_bytes(self._n_max_pad, self._capp) * 128 > _VMEM_BUDGET:

@@ -36,9 +36,10 @@ span hosts, with the coarse/merge all_gathers and the translation psum
 riding ICI/DCN. Per-list metadata (lengths, bucket capacities) stays global
 on every process — it is O(nlist) ints; the O(ntotal) payload/codec tables
 are only ever materialized for local rows. The single-kernel Pallas
-translate path is single-process-only for now (its decoder pads lanes with
-host-side global maxima); multi-process ROC falls back to the XLA decode
-chain.
+translate path is process-local too: each process builds decoder lane
+buffers for its rows padded to GLOBAL maxima (identical kernel shapes on
+every process); VDBIDC_PALLAS_INTERPRET=1 runs that kernel in interpret
+mode for CPU (incl. multi-process) test coverage.
 """
 
 from __future__ import annotations
@@ -190,12 +191,12 @@ class ShardedIVF:
             self._n_slices = rd.n_slices_for(
                 int(max((int(np.asarray(p).max(initial=1))
                          for p in container._precisions), default=1)))
-            # the Pallas decoder builds its lane buffers from host-side
-            # global maxima — single-process only; multi-process ROC uses
-            # the XLA decode chain
-            self._pallas = (
-                self._try_pallas_translate(st, lengths, prec)
-                if (lo, hi) == (0, self.nlist_pad) else None)
+            # process-local Pallas decoder: each process builds lane
+            # buffers for ITS rows only, padded to GLOBAL maxima (n_pad,
+            # stack capp, precision envelope — all derived from the
+            # container's global metadata) so every process compiles the
+            # identical kernel shape
+            self._pallas = self._try_pallas_translate(st, lengths, prec)
         elif isinstance(container, PackedBitsInvertedLists):
             self._mode = "packed"
             self._pb_width = container.bits
@@ -248,6 +249,9 @@ class ShardedIVF:
             return jax.device_put(jnp.asarray(local), sh)
         if spec and len(spec) > 0 and spec[0] == "lists":
             gshape = (self.nlist_pad,) + local.shape[1:]
+        elif spec and len(spec) > 1 and spec[1] == "lists":
+            # lane-minor (column) sharding — the Pallas translate buffers
+            gshape = (local.shape[0], self.nlist_pad) + local.shape[2:]
         else:  # replicated: every process holds the full array
             gshape = local.shape
         return jax.make_array_from_process_local_data(sh, local, gshape)
@@ -261,6 +265,13 @@ class ShardedIVF:
         mesh-sharded kernel inputs, or None when out of envelope (non-TPU
         mesh, lane count not LANE_BLOCK-divisible, precision > 32, VMEM).
 
+        PROCESS-LOCAL: ``st``/``prec`` cover only this process's rows
+        [lo, hi); the decoder is built over those lanes padded to GLOBAL
+        maxima (n_pad from the global length table, stack capacity and the
+        precision envelope from the container's global bucket metadata), so
+        every process compiles the identical kernel shape and the buffers
+        assemble into one mesh-sharded array via ``_put``.
+
         Lanes are sorted by length (descending) WITHIN each shard's block
         before the decoder is built: the kernel's step loop runs to each
         grid block's max length, so sorting turns the global-max padding
@@ -268,48 +279,58 @@ class ShardedIVF:
         per-block bounds that track the real length distribution. The
         program maps original local lanes through the inverse permutation.
 
-        The ok-flag is validated HERE with one full decode: per-lane decode
-        is deterministic and the fused program always decodes every local
-        lane, so a clean ctor-time decode guarantees the in-program err flag
-        stays false — no dynamic fallback needed inside the jitted program.
-        """
+        The ok-flag is validated HERE with one full decode of the local
+        lanes: per-lane decode is deterministic and the fused program
+        always decodes every local lane, so a clean ctor-time decode
+        guarantees the in-program err flag stays false — no dynamic
+        fallback needed inside the jitted program.
+
+        ``VDBIDC_PALLAS_INTERPRET=1`` runs the kernel in interpret mode —
+        CPU test coverage of the roc_pl program (incl. multi-process)."""
         from ..ops import roc_pallas as rp
 
         devs = np.asarray(self.mesh.devices).reshape(-1)
-        maxp = int(np.asarray(prec).max(initial=0))
-        # b_loc % 256: the decoder pads lanes to a 256 multiple globally AND
-        # each shard's local lane count must hit a kernel lane block
-        if (devs[0].platform != "tpu"
+        interpret = os.environ.get("VDBIDC_PALLAS_INTERPRET") == "1"
+        # global precision envelope (container metadata, same on every
+        # process) — NOT the local-row max, which could differ per process
+        maxp_g = int(max((int(np.asarray(p).max(initial=1))
+                          for p in self.container._precisions), default=1))
+        if ((devs[0].platform != "tpu" and not interpret)
                 or self.b_loc % 256 != 0
-                or not rp.RocPallasDecoder.supports(maxp, self.n_pad)):
+                or not rp.RocPallasDecoder.supports(maxp_g, self.n_pad)):
             return None
+        lo, hi = self._rows
         B_loc = self.b_loc
+        R = hi - lo
         lengths = np.asarray(lengths)
+        lens_loc = lengths[lo:hi]
         order = np.concatenate([
-            s * B_loc + np.argsort(-lengths[s * B_loc:(s + 1) * B_loc],
+            s * B_loc + np.argsort(-lens_loc[s * B_loc:(s + 1) * B_loc],
                                    kind="stable")
-            for s in range(self.n_shards)])
+            for s in range(R // B_loc)])
         inv = np.empty_like(order)
         inv[order] = np.arange(len(order))
         inv_loc = (inv % B_loc).astype(np.int32)  # local sorted position
         st_p = jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a)[order]), st)
+        # global stack-height maximum so every process pads identically
+        capp_g = max((int(np.asarray(s_.stack_len).max(initial=0))
+                      for s_ in self.container._states), default=0)
         try:
             dec = rp.RocPallasDecoder(
-                st_p, lengths[order], np.asarray(prec)[order],
-                rd.default_pool(self.n_pad), self.n_pad)
+                st_p, lens_loc[order], np.asarray(prec)[order],
+                rd.default_pool(self.n_pad), self.n_pad, capp=capp_g)
         except ValueError:  # VMEM envelope
             return None
-        _, ok = dec.decode()
+        _, ok = dec.decode(interpret=interpret)
         if not ok:
             return None
-        col = NamedSharding(self.mesh, P(None, "lists"))
-        row = NamedSharding(self.mesh, P("lists"))
+        col = P(None, "lists")
         arrs = tuple(
-            jax.device_put(a, col)
+            self._put(np.asarray(a), col)
             for a in (dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens,
-                      dec._prec_row)) + (jax.device_put(inv_loc, row),)
-        return arrs, (dec._n_max_pad, dec._capp)
+                      dec._prec_row)) + (self._put(inv_loc, P("lists")),)
+        return arrs, (dec._n_max_pad, dec._capp, interpret)
 
     # ------------------------------------------------------------------ API
 
@@ -372,9 +393,10 @@ class ShardedIVF:
         scan_float, pq_m = self._scan_is_float, self._pq_m
         width = self._width
         pl_nmax = pl_capp = 0
+        pl_interp = False
         if mode == "roc" and getattr(self, "_pallas", None) is not None:
             mode = "roc_pl"
-            pl_nmax, pl_capp = self._pallas[1]
+            pl_nmax, pl_capp, pl_interp = self._pallas[1]
         T_cap = max(1, min(B_loc, nq * nprobe))
         np_loc = min(nprobe, B_loc)
         n_slices = self._n_slices if mode == "roc" else 0
@@ -575,7 +597,7 @@ class ShardedIVF:
 
                 buf_l, hi_l, lo_l, ptr_l, lens_l, prec_l, inv_l = trans
                 ids_all, _ = _run_decode(buf_l, hi_l, lo_l, ptr_l, lens_l,
-                                         prec_l, pl_nmax, pl_capp, False,
+                                         prec_l, pl_nmax, pl_capp, pl_interp,
                                          jnp.asarray(True), True)
                 slane = inv_l[lane]
                 ln_len = lens_l[0, slane]
