@@ -74,3 +74,45 @@ def test_search_equality_vs_plain_roc():
     np.testing.assert_allclose(D1, D2, rtol=1e-5)
     swap_ok = (I1 == I2) | np.isclose(D1, D2, rtol=1e-5)
     assert swap_ok.all()
+
+
+def test_prepared_interleaved_translate_interpret():
+    """Single-kernel interleaved decode_select (chunk-lane mapping in
+    closed form) must equal the grouped fallback — interpret mode covers
+    the TPU program on CPU."""
+    import numpy as np
+
+    from vector_db_id_compression_tpu.store import invlists as inv_mod
+    from vector_db_id_compression_tpu.store.invlists import (
+        InterleavedRocInvertedLists,
+        InvertedLists,
+    )
+
+    rng = np.random.default_rng(23)
+    nlist, code_size = 10, 2
+    il = InvertedLists(nlist, code_size)
+    sizes = [0, 3, 17, 40, 41, 43, 8, 97, 100, 5]
+    pool_ids = rng.choice(1 << 20, size=sum(sizes), replace=False)
+    pos = 0
+    for ln, nsz in enumerate(sizes):
+        ids = pool_ids[pos: pos + nsz].astype(np.uint64)
+        pos += nsz
+        il.add_entries(ln, ids,
+                       rng.integers(0, 256, nsz * code_size).astype(np.uint8))
+    comp = InterleavedRocInvertedLists(il, interleave=4, interleave_min=16)
+
+    lns, offs = [], []
+    for ln, nsz in enumerate(sizes):
+        if nsz == 0:
+            continue
+        take = rng.integers(0, nsz, size=min(nsz, 7))
+        lns += [ln] * len(take)
+        offs += list(take)
+    lns = np.array(lns, np.int64)
+    offs = np.array(offs, np.int64)
+
+    expect = inv_mod.CompressedInvertedLists.decode_select(comp, lns, offs)
+    prep = inv_mod._prepared_interleaved_translate(comp, interpret=True)
+    assert prep is not None
+    got = comp.decode_select(lns, offs)
+    np.testing.assert_array_equal(got, expect)

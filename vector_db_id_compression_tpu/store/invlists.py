@@ -864,6 +864,126 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
             out[q, : len(vals)] = vals
         return out, lens
 
+    def decode_select(self, list_nos, offsets):
+        prep = _prepared_interleaved_translate(self)
+        if prep is None:
+            return super().decode_select(list_nos, offsets)
+        list_nos = np.asarray(list_nos, dtype=np.int64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        Q0 = len(list_nos)
+        if Q0 == 0:
+            return np.zeros(0, dtype=np.uint64)
+        Q = max(256, 1 << (Q0 - 1).bit_length())
+        lns = np.zeros(Q, np.int32)
+        offs = np.zeros(Q, np.int32)
+        lns[:Q0] = list_nos
+        offs[:Q0] = offsets
+        *arrs, n_max, capp, interp = prep
+        vals = _interleaved_translate_call(
+            *arrs, jnp.asarray(lns), jnp.asarray(offs), n_max, capp, interp)
+        return np.asarray(vals[:Q0]).astype(np.uint64)
+
+
+@partial(jax.jit, static_argnums=(13, 14, 15))
+def _interleaved_translate_call(buf, hi, lo, ptr0, lens, prec_row, inv,
+                                ent_lo, lane_start, n_lanes, list_len,
+                                lns, offs, n_max, capp, interpret=False):
+    """Single-kernel translate over chunk-entry lanes: decode every entry
+    lane once (emit_rev), then map each (list, offset) label to its chunk
+    lane and within-chunk sampling position in closed form — chunk sizes
+    are the deterministic near-equal partition (codecs/roc_interleaved.py
+    partition_sizes: the first n%S chunks get one extra element)."""
+    from ..ops.roc_pallas import _run_decode
+
+    ids_all, _ = _run_decode(buf, hi, lo, ptr0, lens, prec_row, n_max, capp,
+                             interpret, jnp.asarray(True), True)
+    n = list_len[lns]
+    S = jnp.maximum(n_lanes[lns], 1)
+    base = n // S
+    r = n % S
+    t = r * (base + 1)
+    in_big = offs < t
+    s = jnp.where(in_big, offs // jnp.maximum(base + 1, 1),
+                  r + (offs - t) // jnp.maximum(base, 1))
+    chunk_start = jnp.where(in_big, s * (base + 1), t + (s - r) * base)
+    jj = offs - chunk_start
+    row = lane_start[lns] + s
+    srow = inv[row]
+    llen = lens[0, srow]
+    pos = jnp.clip(llen - 1 - jj, 0, n_max - 1)  # emit_rev row order
+    vals = ids_all[srow, pos].astype(jnp.uint64) + ent_lo[row]
+    return jnp.where((offs < n) & (n > 0), vals, jnp.uint64(0))
+
+
+def _prepared_interleaved_translate(container, interpret: bool = False):
+    """Whole-container prepared translate for InterleavedRocInvertedLists:
+    every chunk entry is one kernel lane (sorted by length so grid blocks
+    stop at their own max — chunking already cut each long list's
+    sequential chain by S). Cached on the container; None → per-bucket
+    fallback."""
+    if "_prep_translate" in container.__dict__:
+        return container.__dict__["_prep_translate"]
+    prep = None
+    if interpret or jax.default_backend() != "cpu":
+        from ..ops.roc_pallas import LANE_BLOCK, RocPallasDecoder
+
+        E0 = len(container._ent_len)
+        maxp = int(max((int(np.asarray(p).max(initial=1))
+                        for p in container._precisions), default=1))
+        n_max = max(int(container._ent_len.max(initial=1)), 1)
+        if E0 > 0 and RocPallasDecoder.supports(maxp, n_max):
+            E = -(-E0 // LANE_BLOCK) * LANE_BLOCK
+            cap = max((int(np.asarray(st.stack).shape[1])
+                       for st in container._states), default=1)
+            head = np.full(E, rd.RANS_L, np.uint64)
+            stack = np.zeros((E, cap), np.uint32)
+            stack_len = np.zeros(E, np.int32)
+            mt_ctr = np.zeros(E, np.int32)
+            prec = np.ones(E, np.int32)
+            lens_full = np.zeros(E, np.int32)
+            lens_full[:E0] = container._ent_len
+            sts = [jax.tree_util.tree_map(np.asarray, st)
+                   for st in container._states]
+            prs = [np.asarray(p) for p in container._precisions]
+            for e, (bi, lane) in container._ent_to_bucket.items():
+                st = sts[bi]
+                head[e] = st.head[lane]
+                stack[e, : st.stack.shape[1]] = st.stack[lane]
+                stack_len[e] = st.stack_len[lane]
+                mt_ctr[e] = st.mt_ctr[lane]
+                prec[e] = prs[bi][lane]
+            order = np.argsort(-lens_full, kind="stable")
+            inv = np.empty(E, np.int32)
+            inv[order] = np.arange(E, dtype=np.int32)
+            states = rd.RocStates(
+                head=head[order], stack=stack[order],
+                stack_len=stack_len[order], mt_ctr=mt_ctr[order],
+                err=np.zeros(E, bool))
+            ent_lo = np.zeros(E, np.uint64)
+            ent_lo[:E0] = container._ent_lo
+            lane_start = np.zeros(container.nlist, np.int32)
+            n_lanes = np.zeros(container.nlist, np.int32)
+            for ln in range(container.nlist):
+                keys = container._entries_of[ln]
+                lane_start[ln] = keys[0] if keys else 0
+                n_lanes[ln] = len(keys)
+            try:
+                dec = RocPallasDecoder(
+                    states, lens_full[order], prec[order],
+                    rd.default_pool(n_max), n_max)
+                _, ok = dec.decode(interpret=interpret)
+                if ok:
+                    prep = (dec._buf, dec._hi, dec._lo, dec._ptr0,
+                            dec._lens, dec._prec_row, jnp.asarray(inv),
+                            jnp.asarray(ent_lo), jnp.asarray(lane_start),
+                            jnp.asarray(n_lanes),
+                            jnp.asarray(container._lengths.astype(np.int32)),
+                            dec._n_max_pad, dec._capp, interpret)
+            except Exception:  # VMEM envelope / Mosaic compile failure
+                prep = None
+    container.__dict__["_prep_translate"] = prep
+    return prep
+
 
 # method-name → container factory, the one registry behind the experiment
 # drivers (parity with AVAILABLE_COMPRESSED_IVFS, reference
