@@ -301,40 +301,45 @@ def rrr_select_merged(rrr: RRRPlanes, level: int, k: jax.Array,
 
     Everything is recovered from the ones directory: zeros-before-superblock
     is (sb+1)*SB_BITS - ones, zeros-per-block is BLOCK - class."""
-    sbr = rrr.sb_rank[level]
-    NSB = sbr.shape[0]
-    c0 = (jnp.arange(NSB, dtype=jnp.int64) + 1) * SB_BITS - sbr
-    sb1 = jnp.searchsorted(sbr, k + 1, side="left").astype(jnp.int64)
-    sb0 = jnp.searchsorted(c0, k + 1, side="left").astype(jnp.int64)
-    sb = jnp.clip(jnp.where(invert, sb0, sb1), 0, NSB - 1)
-    ones_before = jnp.where(sb > 0, sbr[jnp.maximum(sb - 1, 0)], 0)
-    before_sb = jnp.where(invert, sb * SB_BITS - ones_before, ones_before)
+    from .wavelet_tree import sb_select_search
 
-    cls = _class_window(rrr, level, sb).astype(jnp.int64)       # [Q, S]
+    dt = k.dtype
+    sbr = rrr.sb_rank[level]
+    # dense two-level search, both polarities + before-count in one pass
+    # (the two searchsorteds were the select walk's dominant cost on TPU —
+    # see wavelet_tree.sb_select_search); count arithmetic rides k.dtype
+    sb, before_sb = sb_select_search(sbr, k, invert, SB_BITS,
+                                     with_before=True)
+
+    cls = _class_window(rrr, level, sb).astype(dt)              # [Q, S]
     per_blk = jnp.where(invert[..., None], BLOCK - cls, cls)
     cum = jnp.cumsum(per_blk, axis=-1)
     k_rel = k - before_sb
-    rel = jnp.clip(jnp.sum((cum <= k_rel[..., None]).astype(jnp.int64),
+    rel = jnp.clip(jnp.sum((cum <= k_rel[..., None]).astype(dt),
                            axis=-1), 0, SB_BLOCKS - 1)
     before = before_sb + jnp.where(
         rel > 0,
-        jnp.take_along_axis(cum, jnp.maximum(rel - 1, 0)[..., None],
-                            axis=-1)[..., 0],
+        jnp.take_along_axis(
+            cum, jnp.maximum(rel - 1, 0)[..., None].astype(jnp.int32),
+            axis=-1)[..., 0],
         0,
     )
     # class + offset start of the target block, straight from the window
-    # (no scattered [Q] gathers from the global tables)
+    # (no scattered [Q] gathers from the global tables). The offset-plane
+    # bit address stays i64: it can exceed the sequence length.
     widths = _OFF_BITS_dev[cls].astype(jnp.int64)
     in_sb = jnp.arange(SB_BLOCKS, dtype=jnp.int64) < rel[..., None]
     start = rrr.sb_off_start[level, sb] + jnp.sum(
         jnp.where(in_sb, widths, 0), axis=-1)
-    k_cls = jnp.take_along_axis(cls, rel[..., None], axis=-1)[..., 0]
-    width = jnp.take_along_axis(widths, rel[..., None], axis=-1)[..., 0]
+    k_cls = jnp.take_along_axis(
+        cls, rel[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    width = jnp.take_along_axis(
+        widths, rel[..., None].astype(jnp.int32), axis=-1)[..., 0]
     off0 = _read_offset_at(rrr, level, start, width)
     bits = _unrank_bits(off0, k_cls.astype(jnp.int32))
     blk = sb * SB_BLOCKS + rel
     j = k - before
-    return blk * BLOCK + _select_in_block_v(bits, j, invert)
+    return blk * BLOCK + _select_in_block_v(bits, j, invert).astype(dt)
 
 
 def _read_offset_at(rrr: RRRPlanes, level: int, start: jax.Array,

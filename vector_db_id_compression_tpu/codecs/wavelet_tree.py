@@ -172,33 +172,95 @@ def _select1(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
     return _select_common(wt, level, k, wt.sb_prefix[level], invert=False)
 
 
+_HB = 64  # superblocks per hyperblock in the dense two-level select search
+
+
+def sb_select_search(p1: jax.Array, k: jax.Array, invert: jax.Array,
+                     sb_bits: int, with_before: bool = False):
+    """First superblock whose inclusive prefix exceeds ``k``, per query,
+    with per-query polarity (``invert`` → search the zeros prefix, derived
+    elementwise as (i+1)*sb_bits − ones).
+
+    Equivalent to two ``searchsorted(prefix, k+1, 'left')`` calls, but as
+    two dense compare+reduce passes — hyperblock level then ONE row gather
+    of the winning hyperblock's superblock window. ``searchsorted`` lowers
+    to a log2(SB)-step data-dependent gather chain on TPU; at 1M ids the
+    walk's two searchsorteds were ~89% of each select level's cost
+    (tools/profiling/profile_wt_select.py).
+
+    All arithmetic runs in ``k.dtype`` — callers pass i32 when the plane
+    length fits (TPU i64 is emulated 2x-register arithmetic).
+
+    ``with_before=True`` additionally returns the selected-polarity count
+    before the winning superblock, read from the already-gathered window
+    (saves the caller a serialized [SB] element gather)."""
+    dt = k.dtype
+    p1 = p1.astype(dt)
+    SB = p1.shape[0]
+    NH = -(-SB // _HB)
+    pad = NH * _HB - SB
+    p1p = jnp.pad(p1, (0, pad)) if pad else p1
+    rows = p1p.reshape(NH, _HB)
+    # prefix through each hyperblock's last VALID superblock
+    idx_h = jnp.minimum(
+        (jnp.arange(NH, dtype=dt) + 1) * _HB, SB) - 1
+    hp1 = p1[idx_h]
+    hp0 = (idx_h + 1) * sb_bits - hp1
+    hpv = jnp.where(invert[..., None], hp0, hp1)
+    hb = jnp.minimum(
+        jnp.sum((hpv <= k[..., None]).astype(jnp.int32), axis=-1), NH - 1)
+    win1 = rows[hb]                                   # [Q, _HB] row gather
+    gidx = (hb[..., None].astype(dt) * _HB
+            + jnp.arange(_HB, dtype=dt))
+    valid = gidx < SB
+    win0 = (gidx + 1) * sb_bits - win1
+    winv = jnp.where(invert[..., None], win0, win1)
+    r = jnp.sum((valid & (winv <= k[..., None])).astype(dt), axis=-1)
+    sb = jnp.minimum(hb.astype(dt) * _HB + r, SB - 1)
+    if not with_before:
+        return sb
+    # count before sb, from the gathered window: winv[r-1] when r > 0,
+    # else the previous hyperblock's closing count (0 at the very start)
+    prev_hp = jnp.where(
+        hb > 0,
+        jnp.take_along_axis(
+            hpv, jnp.maximum(hb - 1, 0)[..., None], axis=-1)[..., 0],
+        jnp.zeros((), dt))
+    in_win = jnp.take_along_axis(
+        winv, jnp.maximum(r - 1, 0)[..., None].astype(jnp.int32),
+        axis=-1)[..., 0]
+    before = jnp.where(r > 0, in_win, prev_hp)
+    return sb, before
+
+
 def _select_merged(wt: WaveletTree, level: int, k: jax.Array,
                    invert: jax.Array) -> jax.Array:
     """select0/select1 fused with a per-query ``invert`` vector: one window
     gather + one in-window pass for the batch (a static-invert caller under
     jnp.where evaluates both polarities). The zeros directory derives from
-    the ones directory: zeros-through-sb = (sb+1)*SB_BITS - ones."""
+    the ones directory: zeros-through-sb = (sb+1)*SB_BITS - ones. All
+    arithmetic in ``k.dtype`` (i32 when the caller's plane fits)."""
+    dt = k.dtype
     p1 = wt.sb_prefix[level]
-    SB = p1.shape[0]
-    p0 = (jnp.arange(SB, dtype=jnp.int64) + 1) * SB_BITS - p1
-    sb1 = jnp.searchsorted(p1, k + 1, side="left").astype(jnp.int64)
-    sb0 = jnp.searchsorted(p0, k + 1, side="left").astype(jnp.int64)
-    sb = jnp.clip(jnp.where(invert, sb0, sb1), 0, SB - 1)
-    ones_before = jnp.where(sb > 0, p1[jnp.maximum(sb - 1, 0)], 0)
-    before_sb = jnp.where(invert, sb * SB_BITS - ones_before, ones_before)
+    sb, before_sb = sb_select_search(p1, k, invert, SB_BITS,
+                                     with_before=True)
     win = _window(wt, level, sb)
     win = jnp.where(invert[..., None], ~win, win)
-    cum = jnp.cumsum(jax.lax.population_count(win).astype(jnp.int64), axis=-1)
+    cum = jnp.cumsum(jax.lax.population_count(win).astype(dt), axis=-1)
     k_rel = k - before_sb
-    rel = jnp.sum((cum <= k_rel[..., None]).astype(jnp.int64), axis=-1)
+    rel = jnp.sum((cum <= k_rel[..., None]).astype(dt), axis=-1)
     rel = jnp.clip(rel, 0, SB_WORDS - 1)
     before = before_sb + jnp.where(
         rel > 0,
-        jnp.take_along_axis(cum, jnp.maximum(rel - 1, 0)[..., None], axis=-1)[..., 0],
+        jnp.take_along_axis(
+            cum, jnp.maximum(rel - 1, 0)[..., None].astype(jnp.int32),
+            axis=-1)[..., 0],
         0,
     )
-    word = jnp.take_along_axis(win, rel[..., None], axis=-1)[..., 0]
-    return (sb * SB_WORDS + rel) * 32 + _select_in_word(word, k - before)
+    word = jnp.take_along_axis(
+        win, rel[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return ((sb * SB_WORDS + rel) * 32
+            + _select_in_word(word, k - before).astype(dt))
 
 
 def _select0(wt: WaveletTree, level: int, k: jax.Array) -> jax.Array:
@@ -260,19 +322,22 @@ def wt_path_tables(symbol_counts: np.ndarray, L: int) -> np.ndarray:
 
 
 def _wt_select_tables(L: int, select_merged, tables: jax.Array,
-                      symbol: jax.Array, offset: jax.Array) -> jax.Array:
+                      symbol: jax.Array, offset: jax.Array,
+                      dt=jnp.int64) -> jax.Array:
     """Bottom-up-only select walk using precomputed path tables: one row
     gather [Q, L, 3] replaces every rank of the top-down sweep, and each
-    level runs ONE merged select (per-query polarity) instead of both."""
-    symbol = symbol.astype(jnp.int64)
-    offset = offset.astype(jnp.int64)
-    t = tables[symbol]                          # [..., L, 3] row gather
+    level runs ONE merged select (per-query polarity) instead of both.
+    ``dt`` is the walk dtype — i32 when the sequence length fits (TPU i64
+    arithmetic is emulated on 32-bit lanes)."""
+    symbol = symbol.astype(dt)
+    offset = offset.astype(dt)
+    t = tables.astype(dt)[symbol]               # [..., L, 3] row gather
     p = t[..., L - 1, 2] + offset               # leaf position
     for l in reversed(range(L)):
         zero = ((symbol >> (L - 1 - l)) & 1) == 0
         j = p - t[..., l, 2]
         k = jnp.where(zero, t[..., l, 0], t[..., l, 1]) + j
-        p = select_merged(l, k, zero)
+        p = select_merged(l, k, zero).astype(dt)
     return p
 
 
@@ -326,9 +391,10 @@ def wt_select(wt: WaveletTree, symbol: jax.Array, offset: jax.Array,
     classic two-sweep walk.
     """
     if tables is not None:
+        dt = jnp.int32 if wt.n < 2 ** 31 else jnp.int64
         return _wt_select_tables(
             wt.levels, lambda l, k, inv: _select_merged(wt, l, k, inv),
-            tables, symbol, offset)
+            tables, symbol, offset, dt).astype(jnp.int64)
     return _wt_select_generic(
         wt.n, wt.levels,
         lambda l, pos: _rank1(wt, l, pos),
@@ -345,9 +411,10 @@ def wt_select_rrr(rrr, symbol: jax.Array, offset: jax.Array,
     from .rrr import rrr_rank1, rrr_select0, rrr_select1, rrr_select_merged
 
     if tables is not None:
+        dt = jnp.int32 if rrr.n < 2 ** 31 else jnp.int64
         return _wt_select_tables(
             rrr.levels, lambda l, k, inv: rrr_select_merged(rrr, l, k, inv),
-            tables, symbol, offset)
+            tables, symbol, offset, dt).astype(jnp.int64)
     return _wt_select_generic(
         rrr.n, rrr.levels,
         lambda l, pos: rrr_rank1(rrr, l, pos),

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codecs import roc_device as rd
-from ..codecs.elias_fano import EliasFanoBatch, ef_decode_all
 from ..core.bits import get_fixed_fields
 from . import nsg as _nsg
 
@@ -67,19 +66,52 @@ def compact_provider(g):
 
 
 def ef_provider(g):
-    """EliasFanoGraph: per-node EF sweep decode."""
-    tree = (g._ef, jnp.asarray(g.degrees))
+    """EliasFanoGraph: per-node EF sweep decode inside the traversal loop.
+
+    One fused row per node — [high_words | low_words | l | m] concatenated
+    into a single u32 matrix — so the in-loop fetch is ONE row gather
+    instead of six (words, sb directory, nbits, low, l, m each paid a
+    separate gather per hop before; the gathers, not the decode math, were
+    the EF-vs-ROC traversal gap at 1M). The decode itself is the
+    scatter-free count-select sweep: position of the (k+1)-th set bit =
+    #positions with inclusive popcount-prefix <= k — the batched
+    equivalent of the reference's select_enumerator walk
+    (altid_impl.cpp:92-101, elias_fano.hpp:210-261)."""
+    from ..codecs.elias_fano import _low_fields_dyn
+
+    ef = g._ef
     K = g.K
+    HW = ef.high.words.shape[1]
+    LW = ef.low_words.shape[1]
+    packed = jnp.concatenate([
+        ef.high.words,
+        ef.low_words,
+        ef.l[:, None].astype(jnp.uint32),
+        ef.m[:, None].astype(jnp.uint32),
+    ], axis=1)
+    tree = (packed, jnp.asarray(g.degrees))
 
     def fetch(tree, nodes):
-        ef, deg = tree
-        sub = EliasFanoBatch(
-            high=jax.tree_util.tree_map(lambda a: a[nodes], ef.high),
-            low_words=ef.low_words[nodes],
-            l=ef.l[nodes],
-            m=ef.m[nodes],
-        )
-        vals = ef_decode_all(sub, K).astype(jnp.int32)
+        packed, deg = tree
+        rows = packed[nodes]                              # ONE gather
+        hw = rows[:, :HW]
+        lw = rows[:, HW:HW + LW]
+        l = rows[:, HW + LW].astype(jnp.int64)
+        m = rows[:, HW + LW + 1].astype(jnp.int32)
+        Q = nodes.shape[0]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((hw[:, :, None] >> shifts) & jnp.uint32(1)).reshape(
+            Q, HW * 32)
+        counts = jnp.cumsum(bits.astype(jnp.int32), axis=1)
+        k = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (Q, K))
+        high_pos = jnp.sum(
+            (counts[:, :, None] <= k[:, None, :]).astype(jnp.int32), axis=1)
+        lane = jnp.broadcast_to(
+            jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, K))
+        low = _low_fields_dyn(lw, l, lane, k)
+        vals = ((high_pos - k).astype(jnp.uint64)
+                << l[:, None].astype(jnp.uint64)) | low
+        vals = jnp.where(k < m[:, None], vals, 0).astype(jnp.int32)
         return vals, deg[nodes]
 
     return tree, fetch, K
