@@ -109,14 +109,23 @@ def main(argv=None):
     # ---- on-chip decode ---------------------------------------------------
     interp = jax.default_backend() == "cpu"  # Pallas interpret for CPU tests
     pool = rd.default_pool(n_max)
-    dec = rp.RocPallasDecoder(states, lengths, prec, pool, n_max)
+    # lanes sorted by length (desc): the kernel's step loop runs to each
+    # grid block's max lane length, so sorting makes block bounds track the
+    # length distribution instead of every block paying the global tail
+    # (same construction as the container/fused prepared translates)
+    sort_order = np.argsort(-lengths, kind="stable")
+    states_s = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a)[sort_order]), states)
+    lengths_s, prec_s = lengths[sort_order], prec[sort_order]
+    dec = rp.RocPallasDecoder(states_s, lengths_s, prec_s, pool, n_max)
 
     # spot-check round-trip on a few lanes before timing
     probe = np.asarray([0, args.nlist // 2, args.nlist - 1])
     got, ok = dec.decode_lanes(probe, interpret=interp)
     assert ok, "pallas decoder flagged fallback"
     got = np.asarray(got)
-    for i, ln in enumerate(probe):
+    for i, row in enumerate(probe):
+        ln = int(sort_order[row])
         n = int(lengths[ln])
         np.testing.assert_array_equal(
             np.sort(got[i, :n].astype(np.uint64)), ids[ln, :n])
@@ -133,18 +142,22 @@ def main(argv=None):
 
     # whole-batch kernel throughput: output reduced to a scalar ON DEVICE so
     # the sync doesn't time a multi-hundred-MB host transfer
+    # buffers as ARGUMENTS (closure constants inflate the remote compile
+    # payload past the tunnel's request limit at 30M+ ids)
     @jax.jit
-    def decode_reduced():
+    def decode_reduced(buf, hi, lo, ptr0, lens, prec_row):
         out, err = rp._run_decode(
-            dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens,
-            dec._prec_row, dec._n_max_pad, dec._capp, interp, dec._pool_ok)
+            buf, hi, lo, ptr0, lens, prec_row,
+            dec._n_max_pad, dec._capp, interp, dec._pool_ok)
         return out[0, 0] + out[-1, -1] + jnp.sum(out[:: max(dec.B0 // 64, 1), 0])
 
-    np.asarray(decode_reduced())  # compile + warm
+    dargs = (dec._buf, dec._hi, dec._lo, dec._ptr0, dec._lens,
+             dec._prec_row)
+    np.asarray(decode_reduced(*dargs))  # compile + warm
     ts = []
     for _ in range(args.runs):
         t0 = time.time()
-        np.asarray(decode_reduced())
+        np.asarray(decode_reduced(*dargs))
         ts.append(time.time() - t0)
     dec_s = min(ts)
     dec_rate = args.ntotal / dec_s
@@ -158,22 +171,25 @@ def main(argv=None):
             from ..ops import roc_encode_pallas as rep
 
             enc = rep.RocPallasEncoder(n_max, int(prec.max()))
-            ids_j = jnp.asarray(ids)
-            len_j, prec_j = jnp.asarray(lengths), jnp.asarray(prec)
+            ids_j = jnp.asarray(ids[sort_order])
+            len_j, prec_j = jnp.asarray(lengths_s), jnp.asarray(prec_s)
             enc_pool = jnp.asarray(rd.default_pool(rep.POOL_ROWS), jnp.uint32)
 
+            # arrays ride as ARGUMENTS: closed-over device arrays are baked
+            # into the program as constants, and at 30M+ ids the remote
+            # compile payload blows the tunnel's request-size limit (413)
             @jax.jit
-            def encode_reduced():
+            def encode_reduced(ids_a, len_a, prec_a):
                 head, stack, slen, mtc, err, order = rep._encode_full(
-                    ids_j, len_j, prec_j, enc.n_max, enc.capp, interp,
+                    ids_a, len_a, prec_a, enc.n_max, enc.capp, interp,
                     enc_pool)
                 return head[0] + head[-1] + jnp.sum(slen)
 
-            np.asarray(encode_reduced())
+            np.asarray(encode_reduced(ids_j, len_j, prec_j))
             ts = []
             for _ in range(args.runs):
                 t0 = time.time()
-                np.asarray(encode_reduced())
+                np.asarray(encode_reduced(ids_j, len_j, prec_j))
                 ts.append(time.time() - t0)
             enc_rate = args.ntotal / min(ts)
             log(f"encode on-chip: {min(ts)*1e3:.1f} ms "
