@@ -114,33 +114,42 @@ class HNSW:
         """Batched best-first pool search on one layer restricted to inserted
         nodes. Returns (ids [B, ef], dists [B, ef]) -1/inf padded."""
         B = len(pts)
+        N = len(self._xb)
         xq_dev = jnp.asarray(self._xb[pts])
         pool_ids = np.full((B, ef), -1, dtype=np.int64)
         pool_d = np.full((B, ef), np.inf, dtype=np.float32)
         pool_exp = np.zeros((B, ef), dtype=bool)
-        visited = [set([int(s)]) for s in start]
+        # visited bitset per query row (the python-set bookkeeping was the
+        # build bottleneck past ~50k nodes: B*K set probes per expansion)
+        visited = np.zeros((B, (N + 31) // 32), dtype=np.uint32)
+        rows = np.arange(B)
+        visited[rows, start // 32] |= (
+            np.uint32(1) << (start % 32).astype(np.uint32))
         pool_ids[:, 0] = start
         pool_d[:, 0] = _dists(xq_dev, xb_dev, start[:, None].astype(np.int32))[:, 0]
         adj = self.layers[level]
+        K = adj.shape[1]
         while True:
             cand = np.where(pool_exp | (pool_ids < 0), np.inf, pool_d)
             sel = np.argmin(cand, axis=1)
-            active = np.isfinite(cand[np.arange(B), sel])
+            active = np.isfinite(cand[rows, sel])
             if not active.any():
                 break
-            sel_nodes = np.where(active, pool_ids[np.arange(B), sel], 0).astype(np.int32)
-            pool_exp[np.arange(B), sel] |= active
+            sel_nodes = np.where(active, pool_ids[rows, sel], 0).astype(np.int32)
+            pool_exp[rows, sel] |= active
             nbrs = adj[sel_nodes]
-            K = nbrs.shape[1]
-            mask = np.zeros((B, K), dtype=bool)
-            for q in range(B):
-                if not active[q]:
-                    continue
-                for j in range(K):
-                    v = int(nbrs[q, j])
-                    if v >= 0 and inserted[v] and v not in visited[q]:
-                        visited[q].add(v)
-                        mask[q, j] = True
+            v = np.maximum(nbrs, 0)
+            w = v >> 5
+            bit = np.uint32(1) << (v & 31).astype(np.uint32)
+            seen = (visited[rows[:, None], w] & bit) != 0
+            mask = ((nbrs >= 0) & inserted[v] & ~seen & active[:, None])
+            # in-row duplicate suppression: keep only the first occurrence
+            eq = nbrs[:, :, None] == nbrs[:, None, :]
+            first = np.argmax(eq, axis=2) == np.arange(K)[None, :]
+            mask &= first
+            np.bitwise_or.at(
+                visited, (rows[:, None], w),
+                np.where(mask, bit, np.uint32(0)))
             nodes = np.where(mask, nbrs, -1)
             d2 = _dists(xq_dev, xb_dev, nodes)
             all_ids = np.concatenate([pool_ids, np.where(mask, nbrs, -1)], axis=1)
