@@ -73,18 +73,14 @@ def test_device_descent_matches_host(setup):
     xb, xq, gt, hnsw = setup
     got = hnsw_descend_device(hnsw, xq)
 
-    # host oracle: the round-1 _greedy_descend loop per level
+    # host oracle: the round-1 _greedy_descend loop per level, with the
+    # queries passed explicitly (build-time distances run on host numpy)
     inserted = np.ones(len(xb), dtype=bool)
     cur = np.full(len(xq), hnsw.entry, dtype=np.int32)
-    orig = hnsw._xb
-    try:
-        hnsw._xb = xq
-        xb_dev = jnp.asarray(xb)
-        for l in range(hnsw.max_level, 0, -1):
-            cur = hnsw._greedy_descend(np.arange(len(xq)), xb_dev, cur, l,
-                                       inserted)
-    finally:
-        hnsw._xb = orig
+    xb_dev = jnp.asarray(xb)
+    for l in range(hnsw.max_level, 0, -1):
+        cur = hnsw._greedy_descend(np.arange(len(xq)), xb_dev, cur, l,
+                                   inserted, xq=xq)
     np.testing.assert_array_equal(got, cur)
 
 

@@ -38,6 +38,21 @@ def _dists(xq_dev, xb_dev, nodes: np.ndarray) -> np.ndarray:
     return np.asarray(_batch_dists(xq_dev, xb_dev, jnp.asarray(nodes)))
 
 
+def _dists_host(xq: np.ndarray, xb: np.ndarray, nodes: np.ndarray
+                ) -> np.ndarray:
+    """Host (numpy) batched distances for BUILD-time candidate slabs.
+
+    The build's best-first loops need one distance evaluation per
+    expansion step; on a tunneled TPU each step costs a ~30-60 ms device
+    round trip, which made graph builds sync-bound (65k nodes took >10
+    min of round trips). The slabs are tiny ([B, K, d] ~ 1M elements), so
+    numpy on host is orders of magnitude faster than the per-step sync.
+    SEARCH keeps the fully-jitted device path (search/graph_device.py)."""
+    y = xb[np.maximum(nodes, 0)]
+    d = ((y - xq[:, None, :]) ** 2).sum(axis=-1, dtype=np.float32)
+    return np.where(nodes >= 0, d, np.float32(np.inf))
+
+
 class HNSW:
     def __init__(self, M: int = 16, ef_construction: int = 40,
                  seed: int = 1234):
@@ -88,17 +103,21 @@ class HNSW:
         return self
 
     def _greedy_descend(self, pts: np.ndarray, xb_dev, start: np.ndarray,
-                        level: int, inserted: np.ndarray) -> np.ndarray:
-        """One greedy (ef=1) walk per point on `level`; batched distances."""
+                        level: int, inserted: np.ndarray,
+                        xq: np.ndarray = None) -> np.ndarray:
+        """One greedy (ef=1) walk per point on `level`; batched distances.
+        ``xq`` optionally supplies explicit query vectors (tests/oracles);
+        default: the points being inserted."""
         cur = start.copy()
-        xq_dev = jnp.asarray(self._xb[pts])
-        cur_d = _dists(xq_dev, xb_dev, cur[:, None])[:, 0]
+        if xq is None:
+            xq = self._xb[pts]
+        cur_d = _dists_host(xq, self._xb, cur[:, None])[:, 0]
         adj = self.layers[level]
         while True:
             nbrs = adj[cur]                               # [B, cap]
             valid = (nbrs >= 0) & inserted[np.maximum(nbrs, 0)]
             cand = np.where(valid, nbrs, 0)
-            d = _dists(xq_dev, xb_dev, cand)
+            d = _dists_host(xq, self._xb, cand)
             d = np.where(valid, d, np.inf)
             best = np.argmin(d, axis=1)
             bd = d[np.arange(len(pts)), best]
@@ -115,7 +134,7 @@ class HNSW:
         nodes. Returns (ids [B, ef], dists [B, ef]) -1/inf padded."""
         B = len(pts)
         N = len(self._xb)
-        xq_dev = jnp.asarray(self._xb[pts])
+        xq = self._xb[pts]
         pool_ids = np.full((B, ef), -1, dtype=np.int64)
         pool_d = np.full((B, ef), np.inf, dtype=np.float32)
         pool_exp = np.zeros((B, ef), dtype=bool)
@@ -126,7 +145,8 @@ class HNSW:
         visited[rows, start // 32] |= (
             np.uint32(1) << (start % 32).astype(np.uint32))
         pool_ids[:, 0] = start
-        pool_d[:, 0] = _dists(xq_dev, xb_dev, start[:, None].astype(np.int32))[:, 0]
+        pool_d[:, 0] = _dists_host(xq, self._xb,
+                                   start[:, None].astype(np.int32))[:, 0]
         adj = self.layers[level]
         K = adj.shape[1]
         while True:
@@ -151,7 +171,7 @@ class HNSW:
                 visited, (rows[:, None], w),
                 np.where(mask, bit, np.uint32(0)))
             nodes = np.where(mask, nbrs, -1)
-            d2 = _dists(xq_dev, xb_dev, nodes)
+            d2 = _dists_host(xq, self._xb, nodes)
             all_ids = np.concatenate([pool_ids, np.where(mask, nbrs, -1)], axis=1)
             all_d = np.concatenate([pool_d, np.where(mask, d2, np.inf)], axis=1)
             all_exp = np.concatenate([pool_exp, np.zeros_like(mask)], axis=1)

@@ -294,6 +294,7 @@ class IndexIVF:
 
     def train(self, x: np.ndarray, niter: int = 20, qinco_steps: int = 300):
         self.centroids = train_kmeans(x, self.nlist, niter=niter)
+        self.__dict__.pop("_cent_dev", None)  # invalidate the device cache
         if self.pq is not None:
             self.pq.train(x)
         if self.storage == "qinco":
@@ -328,8 +329,13 @@ class IndexIVF:
             ef = max(self.quantizer_efSearch, nprobe)
             _, I = self._ensure_quantizer().search(xq, nprobe, ef=ef)
             return np.asarray(I, np.int64)
-        _, probes = _coarse_topk(jnp.asarray(xq),
-                                 jnp.asarray(self.centroids), nprobe)
+        # device-resident centroids cached across calls: re-uploading a
+        # 262k x d table costs ~1 s/call on the tunnel (quantizer bench)
+        cd = self.__dict__.get("_cent_dev")
+        if cd is None or cd.shape[0] != self.nlist:
+            cd = self.__dict__["_cent_dev"] = jnp.asarray(
+                np.asarray(self.centroids, np.float32))
+        _, probes = _coarse_topk(jnp.asarray(xq), cd, nprobe)
         return np.asarray(probes, np.int64)
 
     def add(self, x: np.ndarray):
