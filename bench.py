@@ -140,7 +140,7 @@ def main():
     # one-shot number and varies 2-3x run to run (round-3 "regression"
     # post-mortem: the on-chip sustained cost was unchanged; the one-shot
     # delta was entirely this floor)
-    shp = decoder.decode()[0]
+    shp = jnp.zeros(ids_np_once.shape, jnp.uint32)  # same shape/dtype
     triv = jax.jit(lambda a: a + jnp.uint32(1))
     np.asarray(triv(shp))
     floors = []

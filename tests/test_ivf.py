@@ -209,9 +209,15 @@ def test_hnsw_coarse_quantizer_matches_flat():
                   quantizer_M=8)
     hq.centroids = flat.centroids.copy()
     hq.add(xb)
-    # add-time assignment through the graph quantizer: near-exact
-    agree = (np.asarray(hq.invlists.lengths)
-             == np.asarray(flat.invlists.lengths)).mean()
+    # add-time assignment through the graph quantizer: near-exact per-POINT
+    # agreement with the flat assign (exact equality isn't the contract —
+    # graph search is approximate — but gross divergence means a broken
+    # assignment path; per-list length equality is too strict a proxy: one
+    # moved point flips two lists)
+    a_flat = flat.coarse_assign(xb, 1)[:, 0]
+    a_hnsw = hq.coarse_assign(xb, 1)[:, 0]
+    agree = float((a_flat == a_hnsw).mean())
+    assert agree > 0.95, agree
     assert hq.ntotal == flat.ntotal
 
     nprobe = 8

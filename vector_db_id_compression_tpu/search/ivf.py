@@ -310,14 +310,20 @@ class IndexIVF:
                 self.qinco.train(resid, steps=qinco_steps)
 
     def _ensure_quantizer(self):
-        """Lazily build the HNSW coarse quantizer over the centroids."""
-        if self._quantizer_hnsw is None:
+        """Lazily build the HNSW coarse quantizer over the centroids.
+        Rebuilt whenever ``self.centroids`` is a different array object —
+        retraining or direct assignment must not leave the graph walking
+        stale centroids."""
+        if (self._quantizer_hnsw is None
+                or self.__dict__.get("_quantizer_src")
+                is not self.centroids):
             from .hnsw import HNSW
 
             self._quantizer_hnsw = HNSW(
                 M=self.quantizer_M,
                 ef_construction=max(2 * self.quantizer_M, 40),
             ).build(np.asarray(self.centroids, np.float32))
+            self.__dict__["_quantizer_src"] = self.centroids
         return self._quantizer_hnsw
 
     def coarse_assign(self, xq: np.ndarray, nprobe: int) -> np.ndarray:
@@ -329,12 +335,14 @@ class IndexIVF:
             ef = max(self.quantizer_efSearch, nprobe)
             _, I = self._ensure_quantizer().search(xq, nprobe, ef=ef)
             return np.asarray(I, np.int64)
-        # device-resident centroids cached across calls: re-uploading a
-        # 262k x d table costs ~1 s/call on the tunnel (quantizer bench)
+        # device-resident centroids cached across calls (re-uploading a
+        # 262k x d table costs ~1 s/call on the tunnel — quantizer bench);
+        # keyed by array identity so replacing self.centroids invalidates
         cd = self.__dict__.get("_cent_dev")
-        if cd is None or cd.shape[0] != self.nlist:
+        if cd is None or self.__dict__.get("_cent_src") is not self.centroids:
             cd = self.__dict__["_cent_dev"] = jnp.asarray(
                 np.asarray(self.centroids, np.float32))
+            self.__dict__["_cent_src"] = self.centroids
         _, probes = _coarse_topk(jnp.asarray(xq), cd, nprobe)
         return np.asarray(probes, np.int64)
 
@@ -348,7 +356,15 @@ class IndexIVF:
             a = np.empty(len(x), np.int64)
             for s in range(0, len(x), 65536):
                 a[s:s + 65536] = self.coarse_assign(x[s:s + 65536], 1)[:, 0]
-            a = np.maximum(a, 0)
+            missed = np.flatnonzero(a < 0)
+            if len(missed):
+                # graph search failed to place these points — exact-assign
+                # the stragglers instead of silently dumping them in list 0
+                from .kmeans import assign as _exact_assign
+
+                a[missed] = np.asarray(_exact_assign(
+                    jnp.asarray(x[missed]),
+                    jnp.asarray(np.asarray(self.centroids, np.float32))))
         else:
             from .kmeans import assign
 

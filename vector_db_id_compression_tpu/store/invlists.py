@@ -552,7 +552,13 @@ def _prepared_container_translate(container, interpret: bool = False):
                     prep = (dec._buf, dec._hi, dec._lo, dec._ptr0,
                             dec._lens, dec._prec_row, jnp.asarray(inv),
                             dec._n_max_pad, dec._capp, interpret)
-            except Exception:  # VMEM envelope / Mosaic compile failure
+            except Exception as e:  # VMEM envelope / Mosaic compile failure
+                # fallback is correct but slower — surface WHY so genuine
+                # defects don't hide behind the envelope path
+                import warnings
+
+                warnings.warn(f"prepared ROC translate disabled "
+                              f"(per-bucket fallback): {e!r}")
                 prep = None
     container.__dict__["_prep_translate"] = prep
     return prep
@@ -979,7 +985,11 @@ def _prepared_interleaved_translate(container, interpret: bool = False):
                             jnp.asarray(n_lanes),
                             jnp.asarray(container._lengths.astype(np.int32)),
                             dec._n_max_pad, dec._capp, interpret)
-            except Exception:  # VMEM envelope / Mosaic compile failure
+            except Exception as e:  # VMEM envelope / Mosaic compile failure
+                import warnings
+
+                warnings.warn(f"prepared interleaved translate disabled "
+                              f"(per-bucket fallback): {e!r}")
                 prep = None
     container.__dict__["_prep_translate"] = prep
     return prep
