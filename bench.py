@@ -173,7 +173,7 @@ def main():
             return acc
         np.asarray(f())  # compile + warm
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             np.asarray(f())
             ts.append(time.time() - t0)
@@ -210,7 +210,7 @@ def main():
                 return acc
             np.asarray(f())
             ts = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 np.asarray(f())
                 ts.append(time.time() - t0)
