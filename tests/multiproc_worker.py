@@ -76,11 +76,20 @@ index, container = wl["make_index"]()
 sh = ShardedIVF(mesh, index, container, process_local=True)
 D, I = sh.search(wl["xq"], k=5, nprobe=4)
 
+# ---- roc_pl: the prepared Pallas translate built PROCESS-LOCALLY ---------
+# (interpret mode; 2048 lists = 256 lanes per shard so the kernel gate
+# passes — each process materializes only its rows' lane buffers)
+os.environ["VDBIDC_PALLAS_INTERPRET"] = "1"
+index2, cont2, xq2 = wl["make_index_pl"]()
+sh2 = ShardedIVF(mesh, index2, cont2, process_local=True)
+assert sh2._pallas is not None, "roc_pl must engage cross-process"
+D2, I2 = sh2.search(xq2, k=5, nprobe=4)
+
 np.savez(
     os.path.join(outdir, f"proc{pid}.npz"),
     dec_rows=dec_rows, dec_lo=np.int64(dec_lo),
     stack_rows=stack_rows, head_rows=head_rows,
     total_bytes=np.asarray(total_bytes), total_ids=np.asarray(total_ids),
-    D=D, I=I,
+    D=D, I=I, D2=D2, I2=I2,
 )
 print(f"proc {pid} done", flush=True)

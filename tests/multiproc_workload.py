@@ -33,5 +33,24 @@ def build_workload():
         container = RocInvertedLists(index.invlists)
         return index, container
 
+    def make_index_pl():
+        """2048 lists (256/shard on an 8-device mesh) so the roc_pl
+        prepared Pallas translate engages under VDBIDC_PALLAS_INTERPRET —
+        each process builds kernel lane buffers for ITS rows only."""
+        from vector_db_id_compression_tpu.search.ivf import IndexIVF
+        from vector_db_id_compression_tpu.store.invlists import (
+            RocInvertedLists,
+        )
+
+        r2 = np.random.default_rng(7)
+        xb2 = r2.standard_normal((6000, d)).astype(np.float32)
+        xq2 = xb2[r2.integers(0, len(xb2), 12)] + 0.01 * r2.standard_normal(
+            (12, d)).astype(np.float32)
+        index = IndexIVF(d, 2048)
+        index.train(xb2[:4000], niter=3)
+        index.add(xb2)
+        return index, RocInvertedLists(index.invlists), xq2
+
     return dict(sorted_ids=sorted_ids, lengths=lengths, prec=prec,
-                n_max=n_max, xq=xq, make_index=make_index)
+                n_max=n_max, xq=xq, make_index=make_index,
+                make_index_pl=make_index_pl)
