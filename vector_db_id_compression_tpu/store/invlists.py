@@ -409,16 +409,10 @@ class RocInvertedLists(CompressedInvertedLists):
         Q0 = len(list_nos)
         if Q0 == 0:
             return np.zeros(0, dtype=np.uint64)
-        # pow2 pad so repeat calls with drifting label counts reuse the
-        # compiled program
-        Q = max(256, 1 << (Q0 - 1).bit_length())
-        lns = np.zeros(Q, np.int32)
-        offs = np.zeros(Q, np.int32)
-        lns[:Q0] = list_nos
-        offs[:Q0] = offsets
+        lns, offs = _pad_labels_pow2(list_nos, offsets)
         *arrs, n_max, capp, interp = prep
         vals = _prepared_translate_call(
-            *arrs, jnp.asarray(lns), jnp.asarray(offs), n_max, capp, interp)
+            *arrs, lns, offs, n_max, capp, interp)
         return np.asarray(vals[:Q0]).astype(np.uint64)
 
 
@@ -495,6 +489,68 @@ def _prepared_translate_call(buf, hi, lo, ptr0, lens, prec_row, inv, lns,
     return jnp.where(offs < ln_len, vals, jnp.uint64(0))
 
 
+def _flatten_sorted_decoder(container, row_map, lens_full, E, n_max,
+                            interpret, what):
+    """Shared tail of the prepared-translate builders: flatten bucketized
+    states into flat rows via ``row_map`` (iterable of (row, bucket_idx,
+    lane)), sort lanes by length descending (per-grid-block loop bounds),
+    build + ctor-validate the whole-container RocPallasDecoder. Returns
+    (dec, inv_device) or None — a warning names the cause, so genuine
+    defects don't hide behind the envelope fallback."""
+    from ..ops.roc_pallas import RocPallasDecoder
+
+    cap = max((int(np.asarray(st.stack).shape[1])
+               for st in container._states), default=1)
+    head = np.full(E, rd.RANS_L, np.uint64)
+    stack = np.zeros((E, cap), np.uint32)
+    stack_len = np.zeros(E, np.int32)
+    mt_ctr = np.zeros(E, np.int32)
+    prec = np.ones(E, np.int32)
+    sts = [jax.tree_util.tree_map(np.asarray, st)
+           for st in container._states]
+    prs = [np.asarray(p) for p in container._precisions]
+    for row, bi, lane in row_map:
+        st = sts[bi]
+        head[row] = st.head[lane]
+        stack[row, : st.stack.shape[1]] = st.stack[lane]
+        stack_len[row] = st.stack_len[lane]
+        mt_ctr[row] = st.mt_ctr[lane]
+        prec[row] = prs[bi][lane]
+    order = np.argsort(-lens_full, kind="stable")
+    inv = np.empty(E, np.int32)
+    inv[order] = np.arange(E, dtype=np.int32)
+    states = rd.RocStates(
+        head=head[order], stack=stack[order], stack_len=stack_len[order],
+        mt_ctr=mt_ctr[order], err=np.zeros(E, bool))
+    try:
+        dec = RocPallasDecoder(states, lens_full[order], prec[order],
+                               rd.default_pool(n_max), n_max)
+        # one ctor-time full decode validates the err flag for every later
+        # call (per-lane decode is deterministic)
+        _, ok = dec.decode(interpret=interpret)
+        if not ok:
+            return None
+        return dec, jnp.asarray(inv)
+    except Exception as e:  # VMEM envelope / Mosaic compile failure
+        import warnings
+
+        warnings.warn(f"prepared {what} translate disabled "
+                      f"(per-bucket fallback): {e!r}")
+        return None
+
+
+def _pad_labels_pow2(list_nos, offsets):
+    """Shared label padding for the prepared decode_select paths: pow2 pad
+    so repeat calls with drifting label counts reuse the compiled program."""
+    Q0 = len(list_nos)
+    Q = max(256, 1 << (Q0 - 1).bit_length())
+    lns = np.zeros(Q, np.int32)
+    offs = np.zeros(Q, np.int32)
+    lns[:Q0] = list_nos
+    offs[:Q0] = offsets
+    return jnp.asarray(lns), jnp.asarray(offs)
+
+
 def _prepared_container_translate(container, interpret: bool = False):
     """Lazily build (and cache on the container) the whole-container Pallas
     translate: bucketized states flattened to list order, lanes sorted by
@@ -515,51 +571,18 @@ def _prepared_container_translate(container, interpret: bool = False):
                         for p in container._precisions), default=1))
         n_max = max(int(lengths.max(initial=1)), 1)
         if RocPallasDecoder.supports(maxp, n_max):
-            cap = max((int(np.asarray(st.stack).shape[1])
-                       for st in container._states), default=1)
-            head = np.full(B, rd.RANS_L, np.uint64)
-            stack = np.zeros((B, cap), np.uint32)
-            stack_len = np.zeros(B, np.int32)
-            mt_ctr = np.zeros(B, np.int32)
-            prec = np.ones(B, np.int32)
             lens_full = np.zeros(B, np.int32)
             lens_full[:nlist] = lengths
-            for bi, bucket in enumerate(container._buckets):
-                st = jax.tree_util.tree_map(np.asarray, container._states[bi])
-                pr = np.asarray(container._precisions[bi])
-                for lane, ln in enumerate(bucket.list_ids):
-                    ln = int(ln)
-                    head[ln] = st.head[lane]
-                    stack[ln, : st.stack.shape[1]] = st.stack[lane]
-                    stack_len[ln] = st.stack_len[lane]
-                    mt_ctr[ln] = st.mt_ctr[lane]
-                    prec[ln] = pr[lane]
-            order = np.argsort(-lens_full, kind="stable")
-            inv = np.empty(B, np.int32)
-            inv[order] = np.arange(B, dtype=np.int32)
-            states = rd.RocStates(
-                head=head[order], stack=stack[order],
-                stack_len=stack_len[order], mt_ctr=mt_ctr[order],
-                err=np.zeros(B, bool))
-            try:
-                dec = RocPallasDecoder(
-                    states, lens_full[order], prec[order],
-                    rd.default_pool(n_max), n_max)
-                # one ctor-time full decode validates the err flag for every
-                # later call (per-lane decode is deterministic)
-                _, ok = dec.decode(interpret=interpret)
-                if ok:
-                    prep = (dec._buf, dec._hi, dec._lo, dec._ptr0,
-                            dec._lens, dec._prec_row, jnp.asarray(inv),
-                            dec._n_max_pad, dec._capp, interpret)
-            except Exception as e:  # VMEM envelope / Mosaic compile failure
-                # fallback is correct but slower — surface WHY so genuine
-                # defects don't hide behind the envelope path
-                import warnings
-
-                warnings.warn(f"prepared ROC translate disabled "
-                              f"(per-bucket fallback): {e!r}")
-                prep = None
+            row_map = [(int(ln), bi, lane)
+                       for bi, bucket in enumerate(container._buckets)
+                       for lane, ln in enumerate(bucket.list_ids)]
+            built = _flatten_sorted_decoder(
+                container, row_map, lens_full, B, n_max, interpret, "ROC")
+            if built is not None:
+                dec, inv = built
+                prep = (dec._buf, dec._hi, dec._lo, dec._ptr0,
+                        dec._lens, dec._prec_row, inv,
+                        dec._n_max_pad, dec._capp, interpret)
     container.__dict__["_prep_translate"] = prep
     return prep
 
@@ -879,14 +902,10 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
         Q0 = len(list_nos)
         if Q0 == 0:
             return np.zeros(0, dtype=np.uint64)
-        Q = max(256, 1 << (Q0 - 1).bit_length())
-        lns = np.zeros(Q, np.int32)
-        offs = np.zeros(Q, np.int32)
-        lns[:Q0] = list_nos
-        offs[:Q0] = offsets
+        lns, offs = _pad_labels_pow2(list_nos, offsets)
         *arrs, n_max, capp, interp = prep
         vals = _interleaved_translate_call(
-            *arrs, jnp.asarray(lns), jnp.asarray(offs), n_max, capp, interp)
+            *arrs, lns, offs, n_max, capp, interp)
         return np.asarray(vals[:Q0]).astype(np.uint64)
 
 
@@ -939,58 +958,29 @@ def _prepared_interleaved_translate(container, interpret: bool = False):
         n_max = max(int(container._ent_len.max(initial=1)), 1)
         if E0 > 0 and RocPallasDecoder.supports(maxp, n_max):
             E = -(-E0 // LANE_BLOCK) * LANE_BLOCK
-            cap = max((int(np.asarray(st.stack).shape[1])
-                       for st in container._states), default=1)
-            head = np.full(E, rd.RANS_L, np.uint64)
-            stack = np.zeros((E, cap), np.uint32)
-            stack_len = np.zeros(E, np.int32)
-            mt_ctr = np.zeros(E, np.int32)
-            prec = np.ones(E, np.int32)
             lens_full = np.zeros(E, np.int32)
             lens_full[:E0] = container._ent_len
-            sts = [jax.tree_util.tree_map(np.asarray, st)
-                   for st in container._states]
-            prs = [np.asarray(p) for p in container._precisions]
-            for e, (bi, lane) in container._ent_to_bucket.items():
-                st = sts[bi]
-                head[e] = st.head[lane]
-                stack[e, : st.stack.shape[1]] = st.stack[lane]
-                stack_len[e] = st.stack_len[lane]
-                mt_ctr[e] = st.mt_ctr[lane]
-                prec[e] = prs[bi][lane]
-            order = np.argsort(-lens_full, kind="stable")
-            inv = np.empty(E, np.int32)
-            inv[order] = np.arange(E, dtype=np.int32)
-            states = rd.RocStates(
-                head=head[order], stack=stack[order],
-                stack_len=stack_len[order], mt_ctr=mt_ctr[order],
-                err=np.zeros(E, bool))
-            ent_lo = np.zeros(E, np.uint64)
-            ent_lo[:E0] = container._ent_lo
-            lane_start = np.zeros(container.nlist, np.int32)
-            n_lanes = np.zeros(container.nlist, np.int32)
-            for ln in range(container.nlist):
-                keys = container._entries_of[ln]
-                lane_start[ln] = keys[0] if keys else 0
-                n_lanes[ln] = len(keys)
-            try:
-                dec = RocPallasDecoder(
-                    states, lens_full[order], prec[order],
-                    rd.default_pool(n_max), n_max)
-                _, ok = dec.decode(interpret=interpret)
-                if ok:
-                    prep = (dec._buf, dec._hi, dec._lo, dec._ptr0,
-                            dec._lens, dec._prec_row, jnp.asarray(inv),
-                            jnp.asarray(ent_lo), jnp.asarray(lane_start),
-                            jnp.asarray(n_lanes),
-                            jnp.asarray(container._lengths.astype(np.int32)),
-                            dec._n_max_pad, dec._capp, interpret)
-            except Exception as e:  # VMEM envelope / Mosaic compile failure
-                import warnings
-
-                warnings.warn(f"prepared interleaved translate disabled "
-                              f"(per-bucket fallback): {e!r}")
-                prep = None
+            row_map = [(e, bi, lane)
+                       for e, (bi, lane) in container._ent_to_bucket.items()]
+            built = _flatten_sorted_decoder(
+                container, row_map, lens_full, E, n_max, interpret,
+                "interleaved")
+            if built is not None:
+                dec, inv = built
+                ent_lo = np.zeros(E, np.uint64)
+                ent_lo[:E0] = container._ent_lo
+                lane_start = np.zeros(container.nlist, np.int32)
+                n_lanes = np.zeros(container.nlist, np.int32)
+                for ln in range(container.nlist):
+                    keys = container._entries_of[ln]
+                    lane_start[ln] = keys[0] if keys else 0
+                    n_lanes[ln] = len(keys)
+                prep = (dec._buf, dec._hi, dec._lo, dec._ptr0,
+                        dec._lens, dec._prec_row, inv,
+                        jnp.asarray(ent_lo), jnp.asarray(lane_start),
+                        jnp.asarray(n_lanes),
+                        jnp.asarray(container._lengths.astype(np.int32)),
+                        dec._n_max_pad, dec._capp, interpret)
     container.__dict__["_prep_translate"] = prep
     return prep
 
