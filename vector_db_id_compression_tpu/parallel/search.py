@@ -320,9 +320,18 @@ class ShardedIVF:
             dec = rp.RocPallasDecoder(
                 st_p, lens_loc[order], np.asarray(prec)[order],
                 rd.default_pool(self.n_pad), self.n_pad, capp=capp_g)
+            _, ok = dec.decode(interpret=interpret)
         except ValueError:  # VMEM envelope
-            return None
-        _, ok = dec.decode(interpret=interpret)
+            dec, ok = None, False
+        # every early return above is process-uniform (global metadata), but
+        # the ctor envelope and the validation-decode ok flag are per-process
+        # and data-dependent: processes MUST agree on engage-vs-fallback or
+        # they compile divergent collective programs and hang (ADVICE r4).
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            ok = bool(multihost_utils.process_allgather(
+                np.asarray(ok, np.int32)).min())
         if not ok:
             return None
         col = P(None, "lists")

@@ -127,6 +127,11 @@ class HNSW:
             cur = np.where(improve, nbrs[np.arange(len(pts)), best], cur)
             cur_d = np.where(improve, bd, cur_d)
 
+    # peak-host-memory cap for the per-call visited bitset (B x ceil(N/32)
+    # u32): past this, _ef_search splits the batch — at 1M nodes an
+    # unchunked 4k-point insert batch would allocate ~0.5 GB per layer call
+    _VISITED_BUDGET_BYTES = 1 << 28
+
     def _ef_search(self, pts: np.ndarray, xb_dev, start: np.ndarray,
                    level: int, ef: int, inserted: np.ndarray
                    ) -> Tuple[np.ndarray, np.ndarray]:
@@ -134,6 +139,16 @@ class HNSW:
         nodes. Returns (ids [B, ef], dists [B, ef]) -1/inf padded."""
         B = len(pts)
         N = len(self._xb)
+        words = (N + 31) // 32
+        chunk = max(1, self._VISITED_BUDGET_BYTES // (4 * words))
+        if B > chunk:
+            parts = [
+                self._ef_search(pts[i:i + chunk], xb_dev, start[i:i + chunk],
+                                level, ef, inserted)
+                for i in range(0, B, chunk)
+            ]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         xq = self._xb[pts]
         pool_ids = np.full((B, ef), -1, dtype=np.int64)
         pool_d = np.full((B, ef), np.inf, dtype=np.float32)

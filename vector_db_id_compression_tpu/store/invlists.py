@@ -557,9 +557,13 @@ def _prepared_container_translate(container, interpret: bool = False):
     length descending, one RocPallasDecoder over all lanes. Returns the
     prepared arrays tuple or None (CPU backend / envelope / validation
     failure — callers fall back to the per-bucket chain). ``interpret``
-    forces the Pallas interpret path (CPU tests only)."""
-    if "_prep_translate" in container.__dict__:
-        return container.__dict__["_prep_translate"]
+    forces the Pallas interpret path (CPU tests only).
+
+    The cache key includes ``interpret``: a compiled-mode miss (None) on a
+    CPU backend must not shadow a later interpret-mode build (ADVICE r4)."""
+    key = f"_prep_translate_i{int(interpret)}"
+    if key in container.__dict__:
+        return container.__dict__[key]
     prep = None
     if interpret or jax.default_backend() != "cpu":
         from ..ops.roc_pallas import LANE_BLOCK, RocPallasDecoder
@@ -583,7 +587,7 @@ def _prepared_container_translate(container, interpret: bool = False):
                 prep = (dec._buf, dec._hi, dec._lo, dec._ptr0,
                         dec._lens, dec._prec_row, inv,
                         dec._n_max_pad, dec._capp, interpret)
-    container.__dict__["_prep_translate"] = prep
+    container.__dict__[key] = prep
     return prep
 
 
@@ -944,10 +948,12 @@ def _prepared_interleaved_translate(container, interpret: bool = False):
     """Whole-container prepared translate for InterleavedRocInvertedLists:
     every chunk entry is one kernel lane (sorted by length so grid blocks
     stop at their own max — chunking already cut each long list's
-    sequential chain by S). Cached on the container; None → per-bucket
-    fallback."""
-    if "_prep_translate" in container.__dict__:
-        return container.__dict__["_prep_translate"]
+    sequential chain by S). Cached on the container, keyed by ``interpret``
+    (a compiled-mode miss must not shadow an interpret-mode build);
+    None → per-bucket fallback."""
+    key = f"_prep_translate_i{int(interpret)}"
+    if key in container.__dict__:
+        return container.__dict__[key]
     prep = None
     if interpret or jax.default_backend() != "cpu":
         from ..ops.roc_pallas import LANE_BLOCK, RocPallasDecoder
@@ -981,7 +987,7 @@ def _prepared_interleaved_translate(container, interpret: bool = False):
                         jnp.asarray(n_lanes),
                         jnp.asarray(container._lengths.astype(np.int32)),
                         dec._n_max_pad, dec._capp, interpret)
-    container.__dict__["_prep_translate"] = prep
+    container.__dict__[key] = prep
     return prep
 
 
