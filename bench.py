@@ -158,7 +158,7 @@ def main():
     # marginal per-decode time is the on-chip cost a pipelined production
     # consumer sees (dispatch latency amortizes; optimization_barrier
     # prevents XLA from CSE-ing the identical calls)
-    def repeated(K):
+    def make_repeated(K):
         @jax.jit
         def f():
             acc = jnp.uint32(0)
@@ -172,6 +172,9 @@ def main():
                 acc = acc + out[0, 0] + out[-1, -1]
             return acc
         np.asarray(f())  # compile + warm
+        return f
+
+    def time_min5(f):
         ts = []
         for _ in range(5):
             t0 = time.time()
@@ -179,11 +182,21 @@ def main():
             ts.append(time.time() - t0)
         return min(ts)
 
-    t1, t8 = repeated(1), repeated(8)
-    dec_s = max((t8 - t1) / 7, 1e-9)
+    # three independent marginal estimates, logged with spread: the on-chip
+    # cost is stable within a session (<2% here) while the tunnel transfer
+    # floor swings 2-4x across sessions — the spread line is the evidence
+    # that separates code regressions from environment (NOTES.md round-5
+    # reconciliation of the r02->r04 "decode regression")
+    f1, f8 = make_repeated(1), make_repeated(8)
+    ests = []
+    for _ in range(5):
+        t1, t8 = time_min5(f1), time_min5(f8)
+        ests.append(max((t8 - t1) / 7, 1e-9))
+    dec_s = min(ests)
     tpu_rate = NTOTAL / dec_s
     log(f"TPU decode sustained (marginal, 8 pipelined calls): "
-        f"{dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} Mids/s")
+        f"{dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} Mids/s "
+        f"(3 estimates: {', '.join(f'{e*1e3:.2f}' for e in ests)} ms)")
     ids = jnp.asarray(ids_np_once)
 
     # on-device encode throughput (informational): the Pallas encoder is
