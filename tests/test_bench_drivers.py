@@ -117,3 +117,48 @@ def test_codec_scale_driver(capsys):
     # ~log2(ntotal) - log2(n/nlist!)/n + state overhead; sane band
     assert 2.0 < row["bits_per_id"] < 16.0
     assert row["decode_mids_s"] > 0
+    assert row["lanes"] == 16  # 187-id lists stay under the 512 target
+
+
+def test_codec_scale_interleave_routing(capsys):
+    """Long lists route through the interleaved chunk plan (extra lanes,
+    round-trip still validated in-driver) and multi-group decode works."""
+    import json
+
+    from vector_db_id_compression_tpu.bench.codec_scale import main as scale
+
+    scale(["--ntotal", "3000", "--nlist", "4", "--runs", "1",
+           "--chunk-target", "128", "--lane-chunk", "8",
+           "--skip-device-encode"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["lanes"] > 4 and row["lane_n_max"] <= 2 * 128
+    assert row["decode_mids_s"] > 0
+
+
+def test_scaling_search_phases(capsys):
+    """The staged-ablation programs (coarse/scan/merge/full) compile and
+    run; cumulative diffs are reported per mesh size."""
+    import json
+
+    from vector_db_id_compression_tpu.bench.scaling import run_search
+
+    rows = run_search(lists_per_device=8, ids_per_list=20, d=8, nq=8, k=4,
+                      nprobe=4, seed=3, runs=1, device_counts=[1, 2],
+                      method="roc", phases=True)
+    assert len(rows) == 2
+    for r in rows:
+        assert set(r["phase_s"]) == {"coarse", "scan", "merge", "translate"}
+        assert r["phase_cum_s"]["full"] > 0
+
+
+def test_wt_translate_bench(capsys):
+    """WT translate microbench runs at tiny scale and validates its oracle
+    (selected id == the offset-th member of the list)."""
+    import json
+
+    from vector_db_id_compression_tpu.bench.wt_translate_bench import main
+
+    main(["--ntotal", "4000", "--nlist", "32", "--nq", "16",
+          "--nshort", "8", "--runs", "1"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["Q"] == 128 and row["e2e_ms"] > 0

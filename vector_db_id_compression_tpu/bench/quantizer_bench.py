@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--M", type=int, default=32)
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--skip-hnsw", action="store_true",
+                   help="flat-matmul point only (the 1M-centroid study: "
+                        "a graph build at that scale costs hours on this "
+                        "1-core host and the measured question is whether "
+                        "the MXU matmul stays cheap — reference 1B config "
+                        "README.md:174-176)")
     p.add_argument("--out", default="results/quantizer_262k_tpu.json")
     args = p.parse_args(argv)
 
@@ -57,14 +63,17 @@ def main(argv=None):
 
     flat = IndexIVF(args.d, args.nlist)
     flat.centroids = cents
-    hq = IndexIVF(args.d, args.nlist, quantizer="hnsw",
-                  quantizer_M=args.M)
-    hq.centroids = cents
+    t_build = None
+    if not args.skip_hnsw:
+        hq = IndexIVF(args.d, args.nlist, quantizer="hnsw",
+                      quantizer_M=args.M)
+        hq.centroids = cents
 
-    t0 = time.time()
-    hq._ensure_quantizer()
-    t_build = time.time() - t0
-    log(f"hnsw quantizer built over {args.nlist} centroids in {t_build:.0f}s")
+        t0 = time.time()
+        hq._ensure_quantizer()
+        t_build = time.time() - t0
+        log(f"hnsw quantizer built over {args.nlist} centroids "
+            f"in {t_build:.0f}s")
 
     def timed(fn):
         fn()  # warm/compile
@@ -81,10 +90,11 @@ def main(argv=None):
         f"per {args.nq}q top-{args.nprobe}")
 
     rows = dict(nlist=args.nlist, d=args.d, nq=args.nq, nprobe=args.nprobe,
-                hnsw_M=args.M, hnsw_build_s=round(t_build, 1),
+                hnsw_M=args.M,
+                hnsw_build_s=(round(t_build, 1) if t_build else None),
                 flat_ms=round(t_flat * 1e3, 1),
                 flat_ms_min=round(t_flat_min * 1e3, 1), hnsw=[])
-    for ef in args.ef:
+    for ef in (args.ef if not args.skip_hnsw else []):
         hq.quantizer_efSearch = ef
         ph, t_h, t_h_min = timed(lambda: hq.coarse_assign(xq, args.nprobe))
         overlap = float(np.mean([

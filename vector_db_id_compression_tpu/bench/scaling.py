@@ -163,7 +163,7 @@ def run(lists_per_device: int, ids_per_list: int, seed: int, runs: int,
 
 def run_search(lists_per_device: int, ids_per_list: int, d: int, nq: int,
                k: int, nprobe: int, seed: int, runs: int, device_counts,
-               method: str = "roc"):
+               method: str = "roc", phases: bool = False):
     """Weak-scale the SHARDED SEARCH program (parallel.search.ShardedIVF):
     the database grows N× with the mesh (lists_per_device lists per shard,
     so per-device coarse matmul and per-device translate lanes are
@@ -214,6 +214,27 @@ def run_search(lists_per_device: int, ids_per_list: int, d: int, nq: int,
         row = {"n_devices": N, "nlist": nlist, "ntotal": nb,
                "search_s": round(t, 4),
                "qps": round(nq / t, 1)}
+
+        if phases:
+            # cumulative staged programs (VDBIDC_ABLATE_STAGE in
+            # parallel.search._build) differenced into per-phase costs;
+            # each stage is a fresh compile, so clear the program cache
+            cum = {}
+            for stage in ("coarse", "scan", "merge"):
+                os.environ["VDBIDC_ABLATE_STAGE"] = stage
+                sh._compiled.clear()
+                cum[stage] = _time(lambda: q()[1], runs)
+            os.environ.pop("VDBIDC_ABLATE_STAGE", None)
+            sh._compiled.clear()
+            cum["full"] = _time(lambda: q()[1], runs)
+            row["phase_cum_s"] = {s: round(v, 4) for s, v in cum.items()}
+            row["phase_s"] = {
+                "coarse": round(cum["coarse"], 4),
+                "scan": round(cum["scan"] - cum["coarse"], 4),
+                "merge": round(cum["merge"] - cum["scan"], 4),
+                "translate": round(cum["full"] - cum["merge"], 4)}
+            log(f"    phases (cumulative-diff): {row['phase_s']}")
+
         if not base_t:
             base_t = dict(row)
         row["eff_vs"] = base_t["n_devices"]
@@ -240,6 +261,9 @@ def main(argv=None):
     p.add_argument("--search-nq", type=int, default=64)
     p.add_argument("--search-k", type=int, default=10)
     p.add_argument("--search-nprobe", type=int, default=8)
+    p.add_argument("--phases", action="store_true",
+                   help="with --search: time the staged programs "
+                        "(coarse/scan/merge/translate) per mesh size")
     args = p.parse_args(argv)
 
     if args.search:
@@ -247,7 +271,7 @@ def main(argv=None):
             min(args.lists_per_device, 64), min(args.ids_per_list, 200),
             args.search_d, args.search_nq, args.search_k,
             args.search_nprobe, args.seed, args.runs, args.devices,
-            method=args.search_method)
+            method=args.search_method, phases=args.phases)
         print(json.dumps({
             "platform": os.environ.get("JAX_PLATFORMS", "default"),
             "host_cores": os.cpu_count(),

@@ -110,6 +110,14 @@ def batch_ef_lists(lists: Sequence[EFList]) -> EliasFanoBatch:
     )
 
 
+# low-words rows at or under this width read their three-word window by a
+# dense in-row compare+reduce instead of three minor-dim element gathers —
+# the graph-adjacency shape (K<=64 neighbors, l<=16 -> W<=32 words) sits
+# under it, and XLA element gathers serialize on TPU (same trade as the
+# count-select form below and the WT superblock row windows)
+_EF_DENSE_LOW_WORDS = 32
+
+
 def _low_fields_dyn(words: jax.Array, l: jax.Array, lane: jax.Array, k: jax.Array) -> jax.Array:
     """Read the k-th l[lane]-bit LSB-first field; per-lane dynamic width
     (l <= 63). Three-word window covers any (offset, width)."""
@@ -118,6 +126,25 @@ def _low_fields_dyn(words: jax.Array, l: jax.Array, lane: jax.Array, k: jax.Arra
     start = k.astype(jnp.int64) * lw
     w0 = (start >> 5).astype(jnp.int32)
     off = (start & 31).astype(jnp.uint64)
+    if W <= _EF_DENSE_LOW_WORDS:
+        roww = words[lane]  # row gather: contiguous words, major-dim index
+        widx = jnp.arange(W, dtype=jnp.int32)
+
+        def sel(t):
+            t = jnp.clip(t, 0, W - 1)
+            return jnp.sum(
+                jnp.where(widx == t[..., None], roww, jnp.uint32(0)),
+                axis=-1).astype(jnp.uint64)
+
+        lo, hi, h2 = sel(w0), sel(w0 + 1), sel(w0 + 2)
+        val = (lo | (hi << jnp.uint64(32))) >> off
+        extra = jnp.where(off > 0, h2 << (jnp.uint64(64) - off),
+                          jnp.uint64(0))
+        val = val | extra
+        width = lw.astype(jnp.uint64)
+        mask = jnp.where(width >= 64, ~jnp.uint64(0),
+                         (jnp.uint64(1) << width) - jnp.uint64(1))
+        return val & mask
     lo = words[lane, jnp.clip(w0, 0, W - 1)].astype(jnp.uint64)
     hi = words[lane, jnp.clip(w0 + 1, 0, W - 1)].astype(jnp.uint64)
     h2 = words[lane, jnp.clip(w0 + 2, 0, W - 1)].astype(jnp.uint64)

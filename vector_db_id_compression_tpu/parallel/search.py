@@ -423,9 +423,15 @@ class ShardedIVF:
         pair_scan = self._pair_scan(nprobe)
         P_cap = nq * nprobe
         budget = int(os.environ.get("VDBIDC_SCAN_BUDGET", str(2 ** 28)))
-        # profiling hook: skip the translate stage and return positional
-        # labels (list_no<<32|offset) as I — isolates coarse+scan+merge cost
-        ablate_translate = os.environ.get("VDBIDC_ABLATE_TRANSLATE") == "1"
+        # profiling hooks: stop the program after a stage and return
+        # shape-compatible dummies — the scaling bench times the cumulative
+        # programs and differences them into per-phase costs
+        # (coarse / scan / merge / translate). VDBIDC_ABLATE_TRANSLATE=1 is
+        # the legacy alias for stage=merge (positional labels as I).
+        ablate_stage = os.environ.get("VDBIDC_ABLATE_STAGE", "")
+        if os.environ.get("VDBIDC_ABLATE_TRANSLATE") == "1":
+            ablate_stage = ablate_stage or "merge"
+        ablate_translate = ablate_stage == "merge"
 
         def lut_from(xq, pq_c):
             """Replicated per-query ADC LUTs f32[nq, M, ksub] (complete
@@ -463,6 +469,10 @@ class ShardedIVF:
             cand_i = jnp.moveaxis(all_id, 0, 1).reshape(nq, Ng * np_loc)
             order = jnp.lexsort((cand_i, cand_d), axis=1)[:, :nprobe]
             probes = jnp.take_along_axis(cand_i, order, axis=1)  # [nq, nprobe]
+            if ablate_stage == "coarse":  # phase profiling: stop here
+                Dd = jnp.zeros((nq, k), jnp.float32) + jnp.sum(
+                    probes, axis=1, keepdims=True).astype(jnp.float32)
+                return Dd, jnp.zeros((nq, k), jnp.int64)
 
             # ---- scan: only my probed lists ------------------------------
             lp = probes - base                                # local or out
@@ -573,6 +583,11 @@ class ShardedIVF:
                 off = (pos % n_pad).astype(jnp.int64)
                 lab = ((base + b_idx) << 32) | off
                 lab = jnp.where(jnp.isfinite(-neg), lab, jnp.int64(-1))
+
+            if ablate_stage == "scan":  # phase profiling: stop pre-merge
+                # shard-local shortlists returned as-is (outputs unused —
+                # the bench only times; check_vma=False tolerates it)
+                return neg[:, :k], lab[:, :k]
 
             # ---- merge: replicated global top-k --------------------------
             g_d = jnp.moveaxis(jax.lax.all_gather(-neg, "lists"), 0, 1
