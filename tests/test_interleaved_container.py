@@ -55,6 +55,29 @@ def test_short_lists_stay_single_stream():
     assert c.compressed_ids_size_in_bytes == ref.compressed_ids_size_in_bytes
 
 
+def test_auto_policy():
+    """interleave='auto' (the default): lists past 1.5x AUTO_CHUNK_TARGET
+    split into ceil(n/target) lanes, short lists stay single-stream
+    bit-exact, and the round-trip holds."""
+    il, _ = make_il(nlist=3, ntotal=3000)  # ~1000/list > 768
+    tgt = InterleavedRocInvertedLists.AUTO_CHUNK_TARGET
+    c = InterleavedRocInvertedLists(il)
+    assert c.interleave == "auto"
+    for ln in range(il.nlist):
+        n = int(il.lengths[ln])
+        want = -(-n // tgt) if n > (3 * tgt) // 2 else 1
+        assert len(c._entries_of[ln]) == want, (ln, n)
+    ids, lens = c.decode_lists(np.arange(il.nlist))
+    for ln in range(il.nlist):
+        np.testing.assert_array_equal(
+            np.sort(ids[ln, : lens[ln]]), np.sort(il.ids[ln]))
+
+    il2, _ = make_il(nlist=8, ntotal=400)  # ~50/list, under the threshold
+    c2 = InterleavedRocInvertedLists(il2)
+    ref = RocInvertedLists(il2)
+    assert c2.compressed_ids_size_in_bytes == ref.compressed_ids_size_in_bytes
+
+
 def test_search_equality_vs_plain_roc():
     rng = np.random.default_rng(5)
     xb = rng.normal(size=(3000, 8)).astype(np.float32)

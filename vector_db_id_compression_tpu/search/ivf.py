@@ -29,6 +29,7 @@ physically reordering codes at compression time (custom_invlists_impl.cpp:188-19
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -674,7 +675,13 @@ class IndexIVF:
         here expressed via include_listno).
         Returns (D, I) or (D, I, codes).
         """
+        import os as _os
+        import time as _time
+
+        timed = _os.environ.get("VDBIDC_TIME_PHASES") == "1"
+        t0 = _time.time()
         D, L = self.search_positional(xq, k, nprobe)
+        t1 = _time.time()
         container = self.active
         if decode_1by1 is None:
             decode_1by1 = getattr(container, "supports_random_access", True)
@@ -682,8 +689,13 @@ class IndexIVF:
         codes_out = None
         if return_codes:
             codes_out = self._harvest_codes(L, include_listno or return_codes == 2)
+        t2 = _time.time()
 
         I = self._translate(L, decode_1by1)
+        if timed:
+            print(f"[phases] positional {t1-t0:.3f}s harvest {t2-t1:.3f}s "
+                  f"translate {_time.time()-t2:.3f}s", file=sys.stderr,
+                  flush=True)
         if codes_out is not None:
             return D, I, codes_out
         return D, I

@@ -759,24 +759,38 @@ class WaveletTreeInvertedLists(CompressedInvertedLists):
 class InterleavedRocInvertedLists(CompressedInvertedLists):
     """ROC container with S-lane interleaving for long lists.
 
-    Lists with >= ``interleave_min`` elements are split into ``interleave``
-    contiguous sorted-value chunks, each rebased to its minimum and coded as
-    an independent ROC stream (codecs/roc_interleaved.py rationale: the
-    per-chunk precision drop cancels the multiset-splitting loss to first
-    order, and the S chains decode in lockstep — ~S x the per-list decode
-    latency of the strictly sequential reference format). Short lists keep
-    the bit-exact single-stream format. Envelope per extra lane: 8B lo +
-    4B length + 1B precision, counted in ``overhead_in_bytes``.
+    Long lists are split into contiguous sorted-value chunks, each rebased
+    to its minimum and coded as an independent ROC stream
+    (codecs/roc_interleaved.py rationale: the per-chunk precision drop
+    cancels the multiset-splitting loss to first order, and the S chains
+    decode in lockstep — ~S x the per-list decode latency of the strictly
+    sequential reference format). Short lists keep the bit-exact
+    single-stream format. Envelope per extra lane: 8B lo + 4B length + 1B
+    precision, counted in ``overhead_in_bytes``.
+
+    ``interleave="auto"`` (default) chunks each list past
+    1.5x AUTO_CHUNK_TARGET into S = ceil(n / AUTO_CHUNK_TARGET) lanes —
+    the measured per-id decode optimum. An integer ``interleave`` with
+    ``interleave_min`` reproduces the fixed policy (lists >=
+    interleave_min split into exactly ``interleave`` chunks).
     """
 
     supports_random_access = False
 
-    def __init__(self, il: InvertedLists, interleave: int = 4,
+    # auto policy: chunk lists past 1.5x this target into ~target-length
+    # lanes — per-id decode cost is U-shaped in lane length (fixed per-step
+    # codec cost short, O(i) rank pass + O(capp) stack ops long); the
+    # codec_scale sweep put the optimum near 512 (300M: 401 Mids/s,
+    # 1B: 418 Mids/s at target 512 vs 150 Mids/s with whole-list lanes)
+    AUTO_CHUNK_TARGET = 512
+
+    def __init__(self, il: InvertedLists, interleave="auto",
                  interleave_min: int = 4096):
         super().__init__(il)
         from ..codecs.roc_interleaved import chunk_plan
 
-        assert interleave >= 1
+        auto = interleave == "auto"
+        assert auto or interleave >= 1
         self.interleave = interleave
         self.codes_all = [np.empty(0, np.uint8)] * il.nlist
         self.id_symbol_precision = np.zeros(il.nlist, dtype=np.int64)
@@ -793,7 +807,12 @@ class InterleavedRocInvertedLists(CompressedInvertedLists):
                 continue
             perm = np.argsort(v, kind="stable")
             sv = v[perm]
-            S = interleave if len(v) >= max(interleave_min, interleave) else 1
+            if auto:
+                t = self.AUTO_CHUNK_TARGET
+                S = -(-len(v) // t) if len(v) > (3 * t) // 2 else 1
+            else:
+                S = (interleave
+                     if len(v) >= max(interleave_min, interleave) else 1)
             self.id_symbol_precision[ln] = precision_for_max_id_safe(
                 int(sv[-1]))
             if S == 1:

@@ -88,7 +88,9 @@ def save_invlists(path: Union[str, Path], c: CompressedInvertedLists) -> None:
                 [len(c._entries_of[ln]) for ln in range(c.nlist)], np.int64)
             arrs["ent_lo"] = c._ent_lo
             arrs["ent_len"] = c._ent_len
-            arrs["interleave"] = np.array([c.interleave], np.int64)
+            # -1 encodes the "auto" per-list chunk policy
+            arrs["interleave"] = np.array(
+                [-1 if c.interleave == "auto" else c.interleave], np.int64)
         arrs["id_symbol_precision"] = c.id_symbol_precision
         for bi, (bucket, st, prec) in enumerate(
             zip(c._buckets, c._states, c._precisions)
@@ -173,7 +175,8 @@ def load_invlists(path: Union[str, Path]) -> CompressedInvertedLists:
             c._ent_to_bucket = l2b
             c._ent_lo = z["ent_lo"]
             c._ent_len = z["ent_len"]
-            c.interleave = int(z["interleave"][0])
+            iv = int(z["interleave"][0])
+            c.interleave = "auto" if iv == -1 else iv
             bounds = np.zeros(c.nlist + 1, dtype=np.int64)
             np.cumsum(z["ent_counts"], out=bounds[1:])
             c._entries_of = {
