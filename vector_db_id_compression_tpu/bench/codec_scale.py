@@ -282,8 +282,11 @@ def main(argv=None):
         f"ms -> {args.ntotal/total_oneshot_s/1e6:.1f} Mids/s")
 
     # ---- on-chip encode (optional; envelope-gated) ------------------------
+    # measured over the first (longest-lane) lane-chunk group only, so the
+    # gate sizes on the group, not the full batch
     enc_rate = None
-    if not args.skip_device_encode and E * n_max <= (1 << 28):
+    if (not args.skip_device_encode
+            and min(E, args.lane_chunk) * n_max <= (1 << 28)):
         try:
             from ..ops import roc_encode_pallas as rep
 
