@@ -158,17 +158,17 @@ def main():
     # marginal per-decode time is the on-chip cost a pipelined production
     # consumer sees (dispatch latency amortizes; optimization_barrier
     # prevents XLA from CSE-ing the identical calls)
-    def make_repeated(K):
+    def make_repeated(dec, K):
         @jax.jit
         def f():
             acc = jnp.uint32(0)
-            buf = decoder._buf
+            buf = dec._buf
             for _ in range(K):
                 buf = jax.lax.optimization_barrier(buf)
                 out, _err = rp._run_decode(
-                    buf, decoder._hi, decoder._lo, decoder._ptr0,
-                    decoder._lens, decoder._prec_row, decoder._n_max_pad,
-                    decoder._capp, False, decoder._pool_ok)
+                    buf, dec._hi, dec._lo, dec._ptr0,
+                    dec._lens, dec._prec_row, dec._n_max_pad,
+                    dec._capp, False, dec._pool_ok)
                 acc = acc + out[0, 0] + out[-1, -1]
             return acc
         np.asarray(f())  # compile + warm
@@ -182,21 +182,74 @@ def main():
             ts.append(time.time() - t0)
         return min(ts)
 
-    # three independent marginal estimates, logged with spread: the on-chip
-    # cost is stable within a session (<2% here) while the tunnel transfer
-    # floor swings 2-4x across sessions — the spread line is the evidence
-    # that separates code regressions from environment (NOTES.md round-5
-    # reconciliation of the r02->r04 "decode regression")
-    f1, f8 = make_repeated(1), make_repeated(8)
-    ests = []
-    for _ in range(5):
-        t1, t8 = time_min5(f1), time_min5(f8)
-        ests.append(max((t8 - t1) / 7, 1e-9))
-    dec_s = min(ests)
+    def sustained(dec):
+        # five independent marginal estimates, logged with spread: the
+        # on-chip cost is stable within a session (<2% here) while the
+        # tunnel transfer floor swings 2-4x across sessions — the spread
+        # line is the evidence that separates code regressions from
+        # environment (NOTES.md round-5 reconciliation of the r02->r04
+        # "decode regression")
+        f1, f8 = make_repeated(dec, 1), make_repeated(dec, 8)
+        ests = []
+        for _ in range(5):
+            t1, t8 = time_min5(f1), time_min5(f8)
+            ests.append(max((t8 - t1) / 7, 1e-9))
+        return min(ests), ests
+
+    dec_s, ests = sustained(decoder)
     tpu_rate = NTOTAL / dec_s
-    log(f"TPU decode sustained (marginal, 8 pipelined calls): "
-        f"{dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} Mids/s "
-        f"(3 estimates: {', '.join(f'{e*1e3:.2f}' for e in ests)} ms)")
+    log(f"TPU decode sustained (strict single-stream format, marginal of "
+        f"8 pipelined calls): {dec_s*1e3:.1f} ms → {tpu_rate/1e6:.2f} "
+        f"Mids/s (5 estimates: "
+        f"{', '.join(f'{e*1e3:.2f}' for e in ests)} ms)")
+
+    # chunked-lane decode: the framework's default long-list policy
+    # (codecs/roc_interleaved chunk plan, target 512 — per-id decode cost
+    # is U-shaped in lane length, NOTES.md round-5). Same ids, slightly
+    # larger envelope; this is the production decode configuration.
+    try:
+        from vector_db_id_compression_tpu.bench.codec_scale import (
+            build_entries)
+
+        (ent_arrays, ent_len, ent_prec, ent_lo, _ent_list, _ent_bound,
+         extra) = build_entries(sorted_ids, lengths_l, prec, "auto", 512)
+        E = len(ent_arrays)
+        c_nmax = int(ent_len.max())
+        c_cap = rd.stack_capacity(c_nmax, int(ent_prec.max()))
+        if native.available():
+            c_heads, c_stacks, c_lens, _, c_mt = native.roc_encode_lists(
+                ent_arrays, ent_prec, cap=c_cap)
+            c_states = rd.RocStates(
+                head=jnp.asarray(c_heads), stack=jnp.asarray(c_stacks),
+                stack_len=jnp.asarray(c_lens),
+                mt_ctr=jnp.asarray(c_mt.astype(np.int32)),
+                err=jnp.zeros(E, dtype=bool))
+        else:
+            c_pad = np.zeros((E, c_nmax), np.uint64)
+            for e, a in enumerate(ent_arrays):
+                c_pad[e, : len(a)] = a
+            c_states, _ = rd.roc_encode_batch(
+                jnp.asarray(c_pad), jnp.asarray(ent_len),
+                jnp.asarray(ent_prec), rd.default_pool(c_nmax),
+                rd.fresh_states(E, c_cap),
+                rd.n_slices_for(int(ent_prec.max())))
+            jax.block_until_ready(c_states)
+        c_bits = (8.0 * (np.asarray(c_states.size_bytes).sum()
+                         + 13 * extra) / NTOTAL)
+        c_decoder = rp.RocPallasDecoder(
+            c_states, ent_len, ent_prec, rd.default_pool(c_nmax), c_nmax)
+        _cids, c_ok = c_decoder.decode()
+        assert c_ok, "chunked pallas decoder flagged fallback"
+        c_dec_s, c_ests = sustained(c_decoder)
+        c_rate = NTOTAL / c_dec_s
+        log(f"TPU decode sustained (chunked lanes, {E} lanes @ target 512, "
+            f"{c_bits:.2f} bits/id): {c_dec_s*1e3:.1f} ms → "
+            f"{c_rate/1e6:.2f} Mids/s (5 estimates: "
+            f"{', '.join(f'{e*1e3:.2f}' for e in c_ests)} ms)")
+        if c_rate > tpu_rate:
+            tpu_rate = c_rate
+    except Exception as e:  # chunked path is a refinement, never fatal
+        log(f"chunked decode bench skipped: {e}")
     ids = jnp.asarray(ids_np_once)
 
     # on-device encode throughput (informational): the Pallas encoder is
