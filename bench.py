@@ -214,8 +214,15 @@ def main():
         from vector_db_id_compression_tpu.bench.codec_scale import (
             build_entries)
 
-        (ent_arrays, ent_len, ent_prec, ent_lo, _ent_list, _ent_bound,
-         extra) = build_entries(sorted_ids, lengths_l, prec, "auto", 512)
+        # target 128: the headline-shape sweep (NOTES.md round-5 addendum)
+        # measured 1563 Mids/s @ 128 / 1641 @ 96 / 958 @ 160 / 520 @ 384 /
+        # 360 @ 512 — the optimum sits at the 96-128 plateau, where one
+        # lane's whole scan chain fits a few VREG tiles; 128 keeps the
+        # envelope at +1.4 bits/id vs strict
+        CHUNK_TARGET = 128
+        (ent_arrays, ent_len, ent_prec, ent_lo, ent_list, ent_bound,
+         extra) = build_entries(sorted_ids, lengths_l, prec, "auto",
+                                CHUNK_TARGET)
         E = len(ent_arrays)
         c_nmax = int(ent_len.max())
         c_cap = rd.stack_capacity(c_nmax, int(ent_prec.max()))
@@ -243,11 +250,19 @@ def main():
             c_states, ent_len, ent_prec, rd.default_pool(c_nmax), c_nmax)
         _cids, c_ok = c_decoder.decode()
         assert c_ok, "chunked pallas decoder flagged fallback"
+        # value-level spot check: every 97th lane must round-trip to the
+        # rebased chunk it encodes (multiset equality, sorted compare)
+        _cnp = np.asarray(_cids)
+        for e in range(0, E, 97):
+            n = int(ent_len[e])
+            np.testing.assert_array_equal(
+                np.sort(_cnp[e, :n].astype(np.uint64)),
+                np.sort(ent_arrays[e]))
         c_dec_s, c_ests = sustained(c_decoder)
         c_rate = NTOTAL / c_dec_s
-        log(f"TPU decode sustained (chunked lanes, {E} lanes @ target 512, "
-            f"{c_bits:.2f} bits/id): {c_dec_s*1e3:.1f} ms → "
-            f"{c_rate/1e6:.2f} Mids/s (5 estimates: "
+        log(f"TPU decode sustained (chunked lanes, {E} lanes @ target "
+            f"{CHUNK_TARGET}, {c_bits:.2f} bits/id): {c_dec_s*1e3:.2f} ms "
+            f"→ {c_rate/1e6:.2f} Mids/s (5 estimates: "
             f"{', '.join(f'{e*1e3:.2f}' for e in c_ests)} ms)")
         if c_rate > tpu_rate:
             tpu_rate = c_rate
